@@ -1,0 +1,29 @@
+"""Test harness: force JAX onto a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated on ``xla_force_host_platform_device_count=8`` CPU devices, mirroring
+how the driver dry-runs the multi-chip path.  Must run before jax imports.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xC0FFEE)
+
+
+def sine_wave(freq: float, rate: float, count: int, amp: float = 1.0) -> np.ndarray:
+    """Test fixture signal (mirrors reference util/audio.rs:29-33 semantics)."""
+    n = np.arange(count, dtype=np.float32)
+    return (np.sin(2.0 * np.pi * freq * n / rate) * amp).astype(np.float32)
