@@ -1,0 +1,195 @@
+"""Recursive (IIR) filters as time scans over batched lanes.
+
+Reference parity: ``Biquad``/``Cascade``/``ThreeBand`` in ``src/dsp.rs:373-504``
+and the 5-tap K-weighting direct-form-II-transposed filter in
+``src/visuals/loudness/processor.rs:153-162``.
+
+TPU formulation: recursion runs as one ``lax.scan`` over the time axis whose
+body evaluates *all* sections on ``[lanes...]`` vectors — sequential in time,
+fully vectorized across streams/channels.  With thousands of streams the VPU
+is saturated per step, so the scan costs microseconds per 256-sample hop;
+precision matches the sequential reference (no associative-scan reordering).
+
+Coefficients are host-side numpy float64 cast at trace time; they are static
+per (sample_rate, config) bucket, exactly like the reference's rebuilt-on-
+rate-change filter plans.
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FilterKind(enum.Enum):
+    LOW_PASS = "low_pass"
+    HIGH_PASS = "high_pass"
+
+
+def biquad_rbj(kind: FilterKind, sample_rate: float, frequency: float) -> np.ndarray:
+    """RBJ biquad (Q = 1/sqrt(2)) as ``[b0, b1, b2, a1, a2]`` float64.
+
+    Matches reference ``Biquad::new`` (dsp.rs:402-420): frequency ratio
+    clamped to [1e-6, 0.49].
+    """
+    ratio = min(max(frequency / sample_rate, 1.0e-6), 0.49)
+    w = 2.0 * math.pi * ratio
+    sin, cos = math.sin(w), math.cos(w)
+    alpha = sin / math.sqrt(2.0)
+    if kind is FilterKind.LOW_PASS:
+        gain, sign = 1.0 - cos, 1.0
+    else:
+        gain, sign = 1.0 + cos, -1.0
+    inv_a0 = 1.0 / (1.0 + alpha)
+    return np.array(
+        [
+            gain * 0.5 * inv_a0,
+            gain * inv_a0 * sign,
+            gain * 0.5 * inv_a0,
+            -2.0 * cos * inv_a0,
+            (1.0 - alpha) * inv_a0,
+        ],
+        np.float64,
+    )
+
+
+def _biquad_step(coeffs, x, z0, z1, finite_reset):
+    """One DF2T biquad sample: returns (y, z0', z1').
+
+    Non-finite outputs reset state and emit 0, matching ``Biquad::process``
+    (dsp.rs:422-432); the K-weighting path disables this (the reference's
+    ``k_weighted`` has no per-sample check).
+    """
+    b0, b1, b2, a1, a2 = coeffs
+    y = b0 * x + z0
+    nz0 = b1 * x - a1 * y + z1
+    nz1 = b2 * x - a2 * y
+    if finite_reset:
+        ok = jnp.isfinite(y)
+        zero = jnp.zeros_like(y)
+        y = jnp.where(ok, y, zero)
+        nz0 = jnp.where(ok, nz0, zero)
+        nz1 = jnp.where(ok, nz1, zero)
+    return y, nz0, nz1
+
+
+@partial(jax.jit, static_argnames=("coeffs", "finite_reset", "unroll"))
+def biquad_cascade_scan(x, state, coeffs, finite_reset: bool = True, unroll: int = 8):
+    """Run a cascade of biquads over time-major input.
+
+    Args:
+      x: ``[T, lanes...]`` input samples.
+      state: ``[n_sections, 2, lanes...]`` DF2T states.
+      coeffs: tuple of ``n_sections`` tuples ``(b0, b1, b2, a1, a2)`` (python
+        floats; hashable so they become compile-time constants).
+      finite_reset: per-sample non-finite state reset (dsp.rs:426-431).
+
+    Returns ``(y [T, lanes...], new_state)``.
+    """
+
+    def step(z, xt):
+        y = xt
+        outs = []
+        for i, c in enumerate(coeffs):
+            y, nz0, nz1 = _biquad_step(c, y, z[i, 0], z[i, 1], finite_reset)
+            outs.append(jnp.stack([nz0, nz1]))
+        return jnp.stack(outs), y
+
+    state, ys = jax.lax.scan(step, state, x, unroll=unroll)
+    return ys, state
+
+
+@partial(jax.jit, static_argnames=("b", "a", "unroll"))
+def iir_df2t_scan(x, state, b, a, unroll: int = 8):
+    """Generic order-N direct-form-II-transposed IIR over time-major input.
+
+    ``b``: tuple of N+1 numerator taps; ``a``: tuple of N feedback taps
+    (a1..aN, a0 normalized to 1); ``state``: ``[N, lanes...]``.  Identical
+    recurrence to the reference's ``k_weighted`` (loudness/processor.rs:153-162).
+    """
+    n = len(a)
+    assert len(b) == n + 1
+
+    def step(z, xt):
+        y = b[0] * xt + z[0]
+        nz = [
+            b[i + 1] * xt - a[i] * y + (z[i + 1] if i + 1 < n else 0.0)
+            for i in range(n)
+        ]
+        return jnp.stack(nz), y
+
+    state, ys = jax.lax.scan(step, state, x, unroll=unroll)
+    return ys, state
+
+
+def _crossover_coeffs(sample_rate: float, splits, cascade_n: int):
+    """The 4 crossover filters of a ThreeBand (dsp.rs:477-487): LP@low,
+    HP@low, LP@high, HP@high, each a cascade of ``cascade_n`` identical
+    biquads (LR4 when ``cascade_n == 2``)."""
+    low, high = splits
+    kinds = [
+        (FilterKind.LOW_PASS, low),
+        (FilterKind.HIGH_PASS, low),
+        (FilterKind.LOW_PASS, high),
+        (FilterKind.HIGH_PASS, high),
+    ]
+    return tuple(
+        tuple(tuple(biquad_rbj(kind, sample_rate, freq).tolist()) for _ in range(cascade_n))
+        for kind, freq in kinds
+    )
+
+
+def three_band_init(lane_shape, cascade_n: int, dtype=jnp.float32):
+    """Zero state for :func:`three_band_scan`: ``[4, cascade_n, 2, lanes...]``."""
+    return jnp.zeros((4, cascade_n, 2, *lane_shape), dtype)
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "splits", "cascade_n", "cascade_high", "unroll"))
+def three_band_scan(
+    x,
+    state,
+    sample_rate: float,
+    splits=(200.0, 2000.0),
+    cascade_n: int = 1,
+    cascade_high: bool = False,
+    unroll: int = 8,
+):
+    """Three-way crossover over time-major input (dsp.rs:473-504).
+
+    ``low = LP_lo(x)``; ``al = HP_lo(x)``; ``mid = LP_hi(al)``;
+    ``high = HP_hi(al if cascade_high else x)``.
+
+    Returns ``(bands [T, 3, lanes...], new_state)``.  ``cascade_n=2`` with
+    ``cascade_high=True`` is the stereometer's LR4 splitter
+    (stereometer/processor.rs:32); ``cascade_n=1, cascade_high=False`` is the
+    waveform band filter (waveform/processor.rs:84).
+    """
+    filters = _crossover_coeffs(sample_rate, splits, cascade_n)
+
+    def run_filter(idx, z, xin):
+        y = xin
+        outs = []
+        for j, c in enumerate(filters[idx]):
+            y, nz0, nz1 = _biquad_step(c, y, z[j, 0], z[j, 1], True)
+            outs.append(jnp.stack([nz0, nz1]))
+        return y, jnp.stack(outs)
+
+    def step(z, xt):
+        low, z0 = run_filter(0, z[0], xt)
+        al, z1 = run_filter(1, z[1], xt)
+        mid, z2 = run_filter(2, z[2], al)
+        high, z3 = run_filter(3, z[3], al if cascade_high else xt)
+        return jnp.stack([z0, z1, z2, z3]), jnp.stack([low, mid, high])
+
+    state, bands = jax.lax.scan(step, state, x, unroll=unroll)
+    return bands, state
+
+
+def flush_denormal_state(state, threshold: float = 1.0e-20):
+    """Per-block denormal flush of recursive state (dsp.rs:391-393)."""
+    return jnp.where(jnp.abs(state) < threshold, jnp.zeros_like(state), state)
