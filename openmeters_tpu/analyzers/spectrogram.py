@@ -1,0 +1,275 @@
+"""Spectrogram: classic STFT and Auger–Flandrin time-frequency reassignment.
+
+Reference parity: ``src/visuals/spectrogram/processor.rs``.  Two modes:
+
+- **Classic**: DC-removed, windowed, zero-padded rFFT per hop; per-bin power
+  packed to u16 over the fixed [-144, +12] dB domain (processor.rs:63-68,
+  349-380).
+- **Reassigned**: analytic signal via an FFT Hilbert transform over
+  ``hilbert_len = next_pow2(2 * window)`` samples, three FFTs of the centered
+  analytic frame windowed by h, dh/dt (spectral-derivative window) and
+  (t - center) * h, then per-bin frequency correction
+  ``-Im(D conj(B)) / |B|^2`` and time correction ``Re(T conj(B)) / |B|^2``
+  in hops minus the Hilbert latency (processor.rs:439-488).  References:
+  Auger & Flandrin 1995; Fulop & Fitz 2006.
+
+TPU formulation: hops become fixed-capacity column batches from
+:class:`~openmeters_tpu.ops.framing.FrameBuffer`; the reference's
+variable-length culled point lists (bins below 1e-14 scaled power omitted)
+become full ``[bins]`` arrays plus a ``point_valid`` mask — static shapes for
+XLA, same information.  Silent windows need no special-casing: zero frames
+produce floor columns / empty masks by arithmetic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmeters_tpu.ops.framing import FrameBuffer
+from openmeters_tpu.utils.level import DB_FLOOR, power_to_db
+from openmeters_tpu.utils.windows import (
+    WindowKind,
+    fft_bin_normalization,
+    window_coefficients,
+)
+
+DEFAULT_FFT_SIZE = 2048  # reference processor.rs:58
+DEFAULT_HOP_SIZE = 64  # reference processor.rs:59
+MAX_HISTORY_COLUMNS = 8192  # reference processor.rs:60
+HISTORY_BYTE_BUDGET = 128 * 1024 * 1024  # reference processor.rs:61
+
+# Fixed u16 dB storage domain (reference processor.rs:63-68).
+CLASSIC_DB_STORE_LO = -144.0
+CLASSIC_DB_STORE_HI = 12.0
+CLASSIC_DB_STORE_RANGE = CLASSIC_DB_STORE_HI - CLASSIC_DB_STORE_LO
+ANALYSIS_FLOOR_POWER = 1e-14  # reference processor.rs:69
+
+
+def pack_classic_db(db):
+    """dB -> u16 code over the fixed store domain (processor.rs:103-108)."""
+    scale = 65535.0 / CLASSIC_DB_STORE_RANGE
+    code = jnp.round((db - CLASSIC_DB_STORE_LO) * scale)
+    return jnp.clip(code, 0.0, 65535.0).astype(jnp.uint16)
+
+
+def unpack_classic_db(codes):
+    return codes.astype(jnp.float32) * (CLASSIC_DB_STORE_RANGE / 65535.0) + CLASSIC_DB_STORE_LO
+
+
+def hilbert_len_for(window_size: int) -> int:
+    """(2 * window).next_power_of_two() (reference processor.rs:225-227)."""
+    n = max(window_size * 2, 2)
+    return 1 << (n - 1).bit_length()
+
+
+def derivative_window(window: np.ndarray) -> np.ndarray:
+    """Spectral-derivative window dh/dn via FFT (processor.rs:569-599)."""
+    n = len(window)
+    if n <= 1:
+        return np.zeros(n, np.float32)
+    spec = np.fft.fft(window.astype(np.float64))
+    k = np.arange(n)
+    omega = (2.0 * np.pi / n) * np.where(k > n // 2, k - n, k).astype(np.float64)
+    omega[0] = 0.0
+    if n % 2 == 0:
+        omega[n // 2] = 0.0
+    dspec = 1j * omega * spec
+    dspec[0] = 0.0
+    if n % 2 == 0:
+        dspec[n // 2] = 0.0
+    return np.real(np.fft.ifft(dspec)).astype(np.float32)
+
+
+def time_weighted_window(window: np.ndarray) -> np.ndarray:
+    """(i - center) * w[i], center = (len-1)/2 (processor.rs:601-608)."""
+    center = (len(window) - 1) * 0.5
+    return ((np.arange(len(window)) - center) * window.astype(np.float64)).astype(
+        np.float32
+    )
+
+
+def reassigned_power_scale(window: np.ndarray, fft_size: int) -> float:
+    """Coherent-gain/ENBW correction for splat accumulation
+    (processor.rs:111-117): ``sum(w)^2 / (fft_size * sum(w^2))``."""
+    w = window.astype(np.float64)
+    s, ss = np.sum(w), np.sum(w * w)
+    return float(s * s / (fft_size * ss))
+
+
+def history_columns(reassigned: bool, points: int, requested: int) -> int:
+    """GPU-history retention budget (processor.rs:144-158): classic columns
+    pack two u16 codes per u32; reassigned points are 12-byte splats with a
+    doubled budget."""
+    stride = points * 12 if reassigned else ((points + 1) // 2) * 4
+    budget = HISTORY_BYTE_BUDGET * (2 if reassigned else 1)
+    cap = max(budget // max(stride, 1), 1)
+    return min(max(requested, 1), MAX_HISTORY_COLUMNS, cap)
+
+
+class ClassicColumns(NamedTuple):
+    codes: jnp.ndarray  # [S, cols_cap, bins] uint16 packed dB
+    valid: jnp.ndarray  # [S, cols_cap] bool
+
+
+class ReassignedColumns(NamedTuple):
+    freq_hz: jnp.ndarray  # [S, cols_cap, bins]
+    time_offset: jnp.ndarray  # [S, cols_cap, bins] in hops
+    power: jnp.ndarray  # [S, cols_cap, bins] scaled power
+    point_valid: jnp.ndarray  # [S, cols_cap, bins] bool (culling mask)
+    valid: jnp.ndarray  # [S, cols_cap] bool
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectrogramConfig:
+    sample_rate: float = 48_000.0
+    fft_size: int = DEFAULT_FFT_SIZE  # analysis window length
+    hop_size: int = DEFAULT_HOP_SIZE
+    window: WindowKind = WindowKind.HANN
+    use_reassignment: bool = True
+    zero_padding_factor: int = 1
+    block_frames: int = 256
+
+    def normalized(self) -> "SpectrogramConfig":
+        # reference normalize() (processor.rs:71-82)
+        from openmeters_tpu.utils.level import sanitize_sample_rate
+
+        fft = self.fft_size or DEFAULT_FFT_SIZE
+        hop = self.hop_size or max(min(DEFAULT_HOP_SIZE, fft), 1)
+        return dataclasses.replace(
+            self,
+            sample_rate=sanitize_sample_rate(self.sample_rate),
+            fft_size=fft,
+            hop_size=hop,
+            zero_padding_factor=max(self.zero_padding_factor, 1),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectrogramAnalyzer:
+    config: SpectrogramConfig = SpectrogramConfig()
+
+    @property
+    def padded_fft(self) -> int:
+        return self.config.fft_size * self.config.zero_padding_factor
+
+    @property
+    def bins(self) -> int:
+        return self.padded_fft // 2 + 1
+
+    @property
+    def read_len(self) -> int:
+        cfg = self.config
+        return hilbert_len_for(cfg.fft_size) if cfg.use_reassignment else cfg.fft_size
+
+    @property
+    def _frames(self) -> FrameBuffer:
+        return FrameBuffer(self.read_len, self.config.hop_size, self.config.block_frames)
+
+    @property
+    def cols_cap(self) -> int:
+        return self._frames.cols_cap
+
+    @property
+    def power_scale(self) -> float:
+        """Reassigned splat power correction, exposed like
+        ``SpectrogramUpdate::reassigned_power_scale``."""
+        w = window_coefficients(self.config.window, self.config.fft_size)
+        return reassigned_power_scale(w, self.padded_fft)
+
+    def init(self, n_streams: int) -> dict:
+        return {"fb": self._frames.init(n_streams)}
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def step(self, carry: dict, block, reset_mask=None):
+        """One hop of ``[S, B]`` mono (mid-projected) samples.
+
+        Returns ``(carry, ClassicColumns | ReassignedColumns)``.
+        """
+        fb_carry, frames, valid = self._frames.push(carry["fb"], block, reset_mask)
+        if self.config.use_reassignment:
+            out = self._reassigned(frames, valid)
+        else:
+            out = self._classic(frames, valid)
+        return {"fb": fb_carry}, out
+
+    # -- classic ----------------------------------------------------------
+
+    def _classic(self, frames, valid) -> ClassicColumns:
+        cfg = self.config
+        w = window_coefficients(cfg.window, cfg.fft_size)
+        norm = fft_bin_normalization(w, self.padded_fft)
+
+        mean = jnp.mean(frames, axis=-1, keepdims=True)
+        x = (frames - mean) * w
+        spec = jnp.fft.rfft(x, n=self.padded_fft, axis=-1)
+        power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * norm
+        db = power_to_db(power, DB_FLOOR)
+        return ClassicColumns(codes=pack_classic_db(db), valid=valid)
+
+    # -- reassigned -------------------------------------------------------
+
+    def _reassigned(self, frames, valid) -> ReassignedColumns:
+        cfg = self.config
+        n = cfg.fft_size
+        h = self.read_len  # hilbert length
+        center = (h - n) // 2
+        pfft = self.padded_fft
+        bins = self.bins
+
+        w = window_coefficients(cfg.window, n)
+        dw = derivative_window(w)
+        tw = time_weighted_window(w)
+        norm = fft_bin_normalization(w, pfft)
+
+        # Analytic signal: zero DC and strictly-negative-frequency bins of the
+        # raw (NOT windowed) frame; positive bins are *not* doubled — the 4x
+        # one-sided bin normalization accounts for it (processor.rs:546-557).
+        spec = jnp.fft.fft(frames.astype(jnp.complex64), axis=-1)
+        k = np.arange(h)
+        keep = ((k >= 1) & (k <= h // 2)).astype(np.float32)
+        analytic = jnp.fft.ifft(spec * keep, axis=-1)[..., center : center + n]
+
+        def windowed_fft(win):
+            return jnp.fft.fft(analytic * win, n=pfft, axis=-1)[..., :bins]
+
+        base = windowed_fft(w)
+        deriv = windowed_fft(dw)
+        tweight = windowed_fft(tw)
+
+        br, bi = jnp.real(base), jnp.imag(base)
+        pow_raw = br * br + bi * bi
+        scaled_power = pow_raw * norm
+        inv_pow = 1.0 / jnp.maximum(pow_raw, 1e-38)
+
+        bin_hz = cfg.sample_rate / pfft
+        max_hz = cfg.sample_rate * 0.5
+        inv_2pi = cfg.sample_rate / (2.0 * np.pi)
+        inv_hop = 1.0 / cfg.hop_size
+        latency_hops = center * inv_hop
+
+        d_omega = -(jnp.imag(deriv) * br - jnp.real(deriv) * bi) * inv_pow
+        freq_hz = np.arange(bins, dtype=np.float32) * bin_hz + d_omega * inv_2pi
+        time_offset = (
+            (jnp.real(tweight) * br + jnp.imag(tweight) * bi) * inv_pow * inv_hop
+            - latency_hops
+        )
+
+        point_valid = (
+            (scaled_power >= ANALYSIS_FLOOR_POWER)
+            & (freq_hz > 0.0)
+            & (max_hz - freq_hz > 0.0)
+            & valid[..., None]
+        )
+        return ReassignedColumns(
+            freq_hz=freq_hz,
+            time_offset=time_offset,
+            power=scaled_power,
+            point_valid=point_valid,
+            valid=valid,
+        )

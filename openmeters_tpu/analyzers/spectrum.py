@@ -1,0 +1,210 @@
+"""Spectrum analyzer: dual-trace FFT with power-domain averaging.
+
+Reference parity: ``src/visuals/spectrum/processor.rs`` — two traces
+(primary/secondary source in {L, R, Mid, Side, None}), each rFFT'd per hop;
+averaging None / Exponential / PeakHold applied in the *power* domain with a
+state floor lifted by the maximum positive A-weighting so weighting cannot
+resurrect sub-floor bins (processor.rs:325-403); outputs both A-weighted and
+raw dB arrays per trace.
+
+TPU formulation: both traces of all streams run as one ``[S * 2]``-lane
+framing + batched rFFT.  Per-stream trace projections are data
+(``[S, 2, 2]`` stereo-projection vectors), so mixed configurations batch into
+one compiled step.  Averaging state is a carry; multiple ready columns per
+step apply sequentially (a tiny static Python loop over ``cols_cap``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmeters_tpu.ops.framing import FrameBuffer
+from openmeters_tpu.utils.channels import Channel, projection_vector
+from openmeters_tpu.utils.level import DB_FLOOR, LN_TO_DB, db_to_power
+from openmeters_tpu.utils.weighting import a_weight_db
+from openmeters_tpu.utils.windows import (
+    WindowKind,
+    fft_bin_normalization,
+    window_coefficients,
+)
+
+DEFAULT_FFT_SIZE = 16_384  # reference processor.rs:25
+DEFAULT_HOP_DIVISOR = 16  # reference processor.rs:24
+DEFAULT_DB_FLOOR = -100.0  # reference processor.rs:22
+MAX_EXP_FACTOR = 0.95  # reference processor.rs:17
+MAX_PEAK_DECAY = 120.0  # reference processor.rs:19
+TRACE_COUNT = 2
+
+
+class AveragingMode(enum.Enum):
+    """Structural averaging mode (reference processor.rs:64-70); the factor /
+    decay parameter rides in :class:`SpectrumConfig`."""
+
+    NONE = "none"
+    EXPONENTIAL = "exponential"
+    PEAK_HOLD = "peak_hold"
+
+
+class SpectrumSnapshot(NamedTuple):
+    weighted_db: jnp.ndarray  # [S, 2, bins] A-weighted dB
+    raw_db: jnp.ndarray  # [S, 2, bins]
+    updated: jnp.ndarray  # [S] bool — any column produced this step
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectrumConfig:
+    sample_rate: float = 48_000.0
+    fft_size: int = DEFAULT_FFT_SIZE
+    hop_size: int = DEFAULT_FFT_SIZE // DEFAULT_HOP_DIVISOR
+    window: WindowKind = WindowKind.HANN
+    averaging: AveragingMode = AveragingMode.NONE
+    exp_factor: float = 0.5  # reference DEFAULT_SPECTRUM_EXP_FACTOR
+    peak_decay_db_per_s: float = 12.0  # reference DEFAULT_SPECTRUM_PEAK_DECAY
+    source: Channel = Channel.MID
+    secondary_source: Channel = Channel.NONE
+    floor_db: float = DEFAULT_DB_FLOOR
+    block_frames: int = 256
+
+    def normalized(self) -> "SpectrumConfig":
+        from openmeters_tpu.utils.level import sanitize_negative_db, sanitize_sample_rate
+
+        fft = max(self.fft_size, 1)
+        hop = self.hop_size or max(fft // DEFAULT_HOP_DIVISOR, 1)
+        return dataclasses.replace(
+            self,
+            sample_rate=sanitize_sample_rate(self.sample_rate),
+            fft_size=fft,
+            hop_size=hop,
+            floor_db=sanitize_negative_db(self.floor_db, DEFAULT_DB_FLOOR),
+        )
+
+    def default_projections(self) -> np.ndarray:
+        """``[2, 2]`` stereo projections for (source, secondary)."""
+        return np.stack(
+            [projection_vector(self.source), projection_vector(self.secondary_source)]
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectrumAnalyzer:
+    config: SpectrumConfig = SpectrumConfig()
+
+    @property
+    def bins(self) -> int:
+        return self.config.fft_size // 2 + 1
+
+    @property
+    def _frames(self) -> FrameBuffer:
+        return FrameBuffer(
+            self.config.fft_size, self.config.hop_size, self.config.block_frames
+        )
+
+    @property
+    def frequency_bins(self) -> np.ndarray:
+        """Bin center frequencies (reference ``SpectrumSnapshot::frequency_bins``)."""
+        bin_hz = self.config.sample_rate / self.config.fft_size
+        return (np.arange(self.bins) * bin_hz).astype(np.float32)
+
+    @property
+    def a_weighting(self) -> np.ndarray:
+        return a_weight_db(self.frequency_bins)
+
+    @property
+    def state_floor(self) -> float:
+        """Power floor for averaging state: positive weighting headroom keeps
+        sub-floor bins dark (reference smoothing_state_floor,
+        processor.rs:332-336)."""
+        headroom = float(np.maximum(np.max(self.a_weighting), 0.0))
+        return max(
+            float(db_to_power(self.config.floor_db - headroom)),
+            float(np.finfo(np.float32).tiny),
+        )
+
+    def init(self, n_streams: int) -> dict:
+        return {
+            "fb": self._frames.init(n_streams * TRACE_COUNT),
+            "smoothed": jnp.zeros((n_streams, TRACE_COUNT, self.bins), jnp.float32),
+        }
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def step(self, carry: dict, block, projections=None, reset_mask=None):
+        """One hop of ``[S, B, 2]`` folded stereo samples.
+
+        Args:
+          projections: ``[S, 2, 2]`` per-stream trace projection vectors
+            (defaults to the config's source/secondary).
+          reset_mask: ``[S]`` bool stream restarts.
+
+        Returns ``(carry, SpectrumSnapshot)``.  Between updates the previous
+        dB outputs would be held by the caller; ``updated`` flags new data.
+        """
+        cfg = self.config
+        s, b, _ = block.shape
+        if projections is None:
+            projections = jnp.broadcast_to(
+                jnp.asarray(cfg.default_projections()), (s, TRACE_COUNT, 2)
+            )
+        traces = jnp.einsum("sbc,stc->stb", block, projections)  # [S, 2, B]
+
+        lane_reset = None
+        if reset_mask is not None:
+            lane_reset = jnp.repeat(reset_mask, TRACE_COUNT)
+        fb = self._frames
+        fb_carry, frames, valid = fb.push(
+            carry["fb"], traces.reshape(s * TRACE_COUNT, b), lane_reset
+        )
+        frames = frames.reshape(s, TRACE_COUNT, fb.cols_cap, cfg.fft_size)
+        valid = valid.reshape(s, TRACE_COUNT, fb.cols_cap)
+
+        w = window_coefficients(cfg.window, cfg.fft_size)
+        norm = fft_bin_normalization(w, cfg.fft_size)
+        mean = jnp.mean(frames, axis=-1, keepdims=True)
+        spec = jnp.fft.rfft((frames - mean) * w, axis=-1)
+        power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * norm  # [S,2,cap,bins]
+
+        smoothed = carry["smoothed"]
+        if reset_mask is not None:
+            smoothed = jnp.where(reset_mask[:, None, None], 0.0, smoothed)
+
+        state_floor = self.state_floor
+        dt = cfg.hop_size / cfg.sample_rate
+        for col in range(fb.cols_cap):
+            p = power[:, :, col]
+            v = valid[:, :, col][..., None]
+            if cfg.averaging is AveragingMode.NONE:
+                # 'smoothed' doubles as last-raw-power retention so snapshots
+                # hold between hops (the reference keeps outputs in
+                # self.snapshot across process_block calls).
+                smoothed = jnp.where(v, p, smoothed)
+            elif cfg.averaging is AveragingMode.EXPONENTIAL:
+                alpha = min(max(cfg.exp_factor, 0.0), 0.9999)
+                nxt = jnp.where(smoothed <= 0.0, p, smoothed * alpha + p * (1 - alpha))
+                nxt = jnp.where(nxt < state_floor, 0.0, nxt)
+                smoothed = jnp.where(v, nxt, smoothed)
+            else:  # PEAK_HOLD
+                decay = float(db_to_power(-max(cfg.peak_decay_db_per_s, 0.0) * dt))
+                nxt = jnp.maximum(smoothed * decay, p)
+                nxt = jnp.where(nxt < state_floor, 0.0, nxt)
+                smoothed = jnp.where(v, nxt, smoothed)
+        out_power = smoothed
+
+        floor = cfg.floor_db
+        weighting = jnp.asarray(self.a_weighting)
+        db = jnp.log(jnp.maximum(out_power, 1e-45)) * LN_TO_DB
+        below = out_power < state_floor
+        raw_db = jnp.where(below, floor, jnp.maximum(db, floor))
+        weighted_db = jnp.where(below, floor, jnp.maximum(db + weighting, floor))
+
+        new_carry = {"fb": fb_carry, "smoothed": smoothed}
+        return new_carry, SpectrumSnapshot(
+            weighted_db=weighted_db,
+            raw_db=raw_db,
+            updated=jnp.any(valid, axis=(1, 2)),
+        )

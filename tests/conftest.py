@@ -7,7 +7,9 @@ how the driver dry-runs the multi-chip path.  Must run before jax imports.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the image pre-sets JAX_PLATFORMS=axon (the tunneled TPU);
+# tests must never compile through the tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

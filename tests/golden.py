@@ -29,18 +29,12 @@ def biquad_df2t(x: np.ndarray, coeffs, finite_reset: bool = True) -> np.ndarray:
 
 
 def k_weight(x: np.ndarray, sample_rate: float) -> np.ndarray:
-    """Sequential 5-tap K-weighting, float64 (BS.1770 pre-filter)."""
+    """5-tap K-weighting, float64 (BS.1770 pre-filter) via scipy lfilter —
+    identical recurrence to the reference's ``k_weighted`` DF2T."""
+    import scipy.signal
+
     b, a = k_weighting_ba(sample_rate)
-    state = np.zeros(4)
-    out = np.empty(len(x))
-    for i, xv in enumerate(np.asarray(x, np.float64)):
-        y = b[0] * xv + state[0]
-        state[0] = b[1] * xv + state[1] - a[1] * y
-        state[1] = b[2] * xv + state[2] - a[2] * y
-        state[2] = b[3] * xv + state[3] - a[3] * y
-        state[3] = b[4] * xv - a[4] * y
-        out[i] = y
-    return out
+    return scipy.signal.lfilter(b, a, np.asarray(x, np.float64))
 
 
 def trailing_means(x: np.ndarray, windows, positions) -> np.ndarray:
@@ -60,15 +54,14 @@ def true_peak(x: np.ndarray, sample_rate: float) -> float:
     peak = float(np.max(np.abs(x))) if len(x) else 0.0
     if sample_rate >= 192_000.0:
         return peak
+    import scipy.signal
+
     factor = 4 if sample_rate < 96_000.0 else 2
     taps = polyphase_taps(factor)
-    d = taps.shape[0]
-    hist = np.zeros(d, np.float32)
-    for xv in x:
-        hist = np.roll(hist, 1)
-        hist[0] = xv
-        phases = hist @ taps
-        peak = max(peak, float(np.max(np.abs(phases))))
+    for p in range(taps.shape[1]):
+        # y[n] = sum_i taps[i] * x[n-i] == FIR lfilter
+        y = scipy.signal.lfilter(taps[:, p].astype(np.float64), [1.0], x)
+        peak = max(peak, float(np.max(np.abs(y))))
     return peak
 
 
