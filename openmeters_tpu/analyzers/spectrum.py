@@ -27,7 +27,7 @@ import numpy as np
 
 from openmeters_tpu.ops.framing import FrameBuffer
 from openmeters_tpu.utils.channels import Channel, projection_vector
-from openmeters_tpu.utils.level import DB_FLOOR, LN_TO_DB, db_to_power
+from openmeters_tpu.utils.level import DB_FLOOR, LN_TO_DB, db_to_power_host
 from openmeters_tpu.utils.weighting import a_weight_db
 from openmeters_tpu.utils.windows import (
     WindowKind,
@@ -123,7 +123,7 @@ class SpectrumAnalyzer:
         processor.rs:332-336)."""
         headroom = float(np.maximum(np.max(self.a_weighting), 0.0))
         return max(
-            float(db_to_power(self.config.floor_db - headroom)),
+            db_to_power_host(self.config.floor_db - headroom),
             float(np.finfo(np.float32).tiny),
         )
 
@@ -189,7 +189,7 @@ class SpectrumAnalyzer:
                 nxt = jnp.where(nxt < state_floor, 0.0, nxt)
                 smoothed = jnp.where(v, nxt, smoothed)
             else:  # PEAK_HOLD
-                decay = float(db_to_power(-max(cfg.peak_decay_db_per_s, 0.0) * dt))
+                decay = db_to_power_host(-max(cfg.peak_decay_db_per_s, 0.0) * dt)
                 nxt = jnp.maximum(smoothed * decay, p)
                 nxt = jnp.where(nxt < state_floor, 0.0, nxt)
                 smoothed = jnp.where(v, nxt, smoothed)

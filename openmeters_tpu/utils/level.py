@@ -39,6 +39,12 @@ def db_to_power(db):
     return jnp.exp2(db * db_to_log2)
 
 
+def db_to_power_host(db: float) -> float:
+    """Host-side scalar variant for static (trace-time) config math — jnp ops
+    inside a jit trace are always traced, so static constants must use this."""
+    return float(2.0 ** (float(db) * 0.1 * math.log2(10.0)))
+
+
 def flush_denormal(x, threshold: float = FLUSH_F32):
     """Zero values with magnitude below ``threshold`` (reference level.rs:8-18)."""
     return jnp.where(jnp.abs(x) < threshold, jnp.zeros_like(x), x)

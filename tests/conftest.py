@@ -16,6 +16,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The jaxtyping pytest plugin imports jax before this conftest runs, so the
+# env var above can be read too late — force the config directly (the backend
+# itself is not initialized until first use, so this still takes effect).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
