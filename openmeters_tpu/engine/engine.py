@@ -1,0 +1,207 @@
+"""The batched meter engine: one jitted step over all streams and analyzers.
+
+Reference parity: ``VisualManager::ingest_samples`` (registry.rs:396-419)
+builds one ``AudioBlock`` per ingest and fans out to enabled analyzer
+modules; format-generation changes reset all processors (registry.rs:400-406).
+Here the ``AudioBlock`` becomes a ``[n_streams, block_frames, channels]``
+batch plus per-stream fold/weight matrices (the layout semantics of
+``src/dsp.rs`` as data), and resets are a per-stream mask derived from
+format-generation changes upstream.
+
+The engine's cadence mirrors ``DspBatcher`` (meter.rs:15-80): fixed
+``block_frames`` per step (256 @ 48 kHz scaled by rate), assembled host-side
+by the ingest layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmeters_tpu.analyzers.loudness import LoudnessAnalyzer, LoudnessConfig
+from openmeters_tpu.analyzers.spectrogram import SpectrogramAnalyzer, SpectrogramConfig
+from openmeters_tpu.analyzers.spectrum import SpectrumAnalyzer, SpectrumConfig
+from openmeters_tpu.utils.channels import (
+    MAX_AUDIO_CHANNELS,
+    channel_fallback,
+    channel_weights,
+    stereo_matrix,
+)
+
+DSP_BATCH_FRAMES_AT_48K = 256  # reference meter.rs:16
+
+
+def scaled_block_frames(sample_rate: float) -> int:
+    """Rate-scaled DSP batch (reference meter.rs:20-25)."""
+    return max(int(round(DSP_BATCH_FRAMES_AT_48K * sample_rate / 48_000.0)), 1)
+
+
+class StreamMeta(NamedTuple):
+    """Per-stream layout data (built host-side from ``AudioFormat``)."""
+
+    fold: jnp.ndarray  # [S, C, 2] stereo fold matrices (dsp.rs:135-176)
+    weights: jnp.ndarray  # [S, C] BS.1770 channel weights
+
+    @staticmethod
+    def default(n_streams: int, channels: int = 2) -> "StreamMeta":
+        positions = channel_fallback(channels)
+        return StreamMeta(
+            fold=jnp.tile(
+                jnp.asarray(stereo_matrix(channels, positions))[None],
+                (n_streams, 1, 1),
+            ),
+            weights=jnp.tile(
+                jnp.asarray(channel_weights(positions))[None], (n_streams, 1)
+            ),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    sample_rate: float = 48_000.0
+    block_frames: int = DSP_BATCH_FRAMES_AT_48K
+    channels: int = MAX_AUDIO_CHANNELS
+    loudness: LoudnessConfig | None = LoudnessConfig()
+    spectrogram: SpectrogramConfig | None = SpectrogramConfig()
+    spectrum: SpectrumConfig | None = SpectrumConfig()
+    # later analyzers register here the same way
+    oscilloscope: Any = None
+    stereometer: Any = None
+    waveform: Any = None
+
+    def resolve(self) -> "EngineConfig":
+        """Propagate engine-level rate/block into analyzer configs."""
+        kw = dict(sample_rate=self.sample_rate, block_frames=self.block_frames)
+
+        def fix(cfg):
+            return dataclasses.replace(cfg, **kw) if cfg is not None else None
+
+        return dataclasses.replace(
+            self,
+            loudness=(
+                dataclasses.replace(
+                    self.loudness, channels=self.channels, **kw
+                )
+                if self.loudness
+                else None
+            ),
+            spectrogram=fix(self.spectrogram),
+            spectrum=fix(self.spectrum),
+            oscilloscope=fix(self.oscilloscope),
+            stereometer=fix(self.stereometer),
+            waveform=fix(self.waveform),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class MeterEngine:
+    config: EngineConfig = EngineConfig()
+
+    def __post_init__(self):
+        object.__setattr__(self, "config", self.config.resolve())
+
+    @property
+    def analyzers(self) -> dict:
+        cfg = self.config
+        out = {}
+        if cfg.loudness:
+            out["loudness"] = LoudnessAnalyzer(cfg.loudness)
+        if cfg.spectrogram:
+            out["spectrogram"] = SpectrogramAnalyzer(cfg.spectrogram)
+        if cfg.spectrum:
+            out["spectrum"] = SpectrumAnalyzer(cfg.spectrum)
+        if cfg.oscilloscope:
+            from openmeters_tpu.analyzers.oscilloscope import OscilloscopeAnalyzer
+
+            out["oscilloscope"] = OscilloscopeAnalyzer(cfg.oscilloscope)
+        if cfg.stereometer:
+            from openmeters_tpu.analyzers.stereometer import StereometerAnalyzer
+
+            out["stereometer"] = StereometerAnalyzer(cfg.stereometer)
+        if cfg.waveform:
+            from openmeters_tpu.analyzers.waveform import WaveformAnalyzer
+
+            out["waveform"] = WaveformAnalyzer(cfg.waveform)
+        return out
+
+    def init(self, n_streams: int) -> dict:
+        return {name: a.init(n_streams) for name, a in self.analyzers.items()}
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def step(self, carry: dict, block, meta: StreamMeta, reset_mask=None):
+        """One engine hop.
+
+        Args:
+          carry: engine state from :meth:`init`.
+          block: ``[S, B, C]`` interleaved-deinterleaved channel samples.
+          meta: per-stream fold/weights.
+          reset_mask: ``[S]`` bool — format-generation change resets
+            (registry.rs:400-406 semantics).
+
+        Returns ``(carry, {name: snapshot})``.
+        """
+        block = block.astype(jnp.float32)
+        stereo = jnp.einsum("sbc,sct->sbt", block, meta.fold)  # [S, B, 2]
+        mid = 0.5 * (stereo[..., 0] + stereo[..., 1])  # [S, B]
+
+        new_carry, snaps = {}, {}
+        analyzers = self.analyzers
+        if "loudness" in analyzers:
+            new_carry["loudness"], snaps["loudness"] = analyzers["loudness"].step(
+                carry["loudness"], block, meta.weights, reset_mask
+            )
+        if "spectrogram" in analyzers:
+            new_carry["spectrogram"], snaps["spectrogram"] = analyzers[
+                "spectrogram"
+            ].step(carry["spectrogram"], mid, reset_mask)
+        if "spectrum" in analyzers:
+            new_carry["spectrum"], snaps["spectrum"] = analyzers["spectrum"].step(
+                carry["spectrum"], stereo, reset_mask=reset_mask
+            )
+        for name in ("oscilloscope", "stereometer", "waveform"):
+            if name in analyzers:
+                new_carry[name], snaps[name] = analyzers[name].step(
+                    carry[name], stereo, reset_mask=reset_mask
+                )
+        return new_carry, snaps
+
+    # -- sharding specs -----------------------------------------------------
+
+    def carry_pspecs(self, axis: str):
+        """PartitionSpec pytree matching :meth:`init` with the stream axis
+        sharded; used by :func:`openmeters_tpu.engine.sharding.sharded_step`."""
+        from jax.sharding import PartitionSpec as P
+
+        def loudness_specs():
+            wl = self.analyzers["loudness"]._windows  # noqa: SLF001
+            del wl
+            return {
+                "kw": P(None, None, axis, None),
+                "wm": {
+                    "totals": P(None, axis, None),
+                    "suffix": P(None, None, axis, None),
+                    "head": P(),
+                    "blocks": P(axis, None),
+                },
+                "tp": P(None, axis, None),
+            }
+
+        def fb_specs():
+            return {"buf": P(axis, None), "avail": P(axis)}
+
+        out = {}
+        if "loudness" in self.analyzers:
+            out["loudness"] = loudness_specs()
+        if "spectrogram" in self.analyzers:
+            out["spectrogram"] = {"fb": fb_specs()}
+        if "spectrum" in self.analyzers:
+            out["spectrum"] = {"fb": fb_specs(), "smoothed": P(axis, None, None)}
+        for name in ("oscilloscope", "stereometer", "waveform"):
+            if name in self.analyzers:
+                out[name] = self.analyzers[name].pspecs(axis)
+        return out

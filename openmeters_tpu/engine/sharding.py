@@ -1,0 +1,61 @@
+"""Stream-parallel scale-out over an ICI device mesh.
+
+The reference's "distributed layer" is intra-process lock-free rings between
+a PipeWire thread and the GUI thread (SURVEY §2.9).  The TPU-native analogue:
+streams are embarrassingly parallel, so the whole engine step runs SPMD over
+a 1-D ``Mesh`` with every stream-indexed array sharded on that axis — XLA
+inserts **zero collectives** in the hot loop; ICI is used only if a future
+analyzer wants cross-stream reductions.  Multi-host deployments add more
+streams over DCN with no cross-host traffic (pure DP).
+
+Works identically on N real TPU chips and on
+``--xla_force_host_platform_device_count=N`` virtual CPU devices (tests).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+STREAM_AXIS = "streams"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (STREAM_AXIS,))
+
+
+def sharded_step(engine, mesh: Mesh):
+    """Jit the engine step with explicit stream shardings over ``mesh``.
+
+    Returns ``(step_fn, place_carry)``: ``step_fn(carry, block, meta, reset)``
+    with all stream-indexed leaves sharded on ``STREAM_AXIS``; ``place_carry``
+    shards an engine carry pytree onto the mesh.
+    """
+    carry_specs = engine.carry_pspecs(STREAM_AXIS)
+
+    def shard(spec):
+        return NamedSharding(mesh, spec)
+
+    carry_sh = jax.tree.map(shard, carry_specs, is_leaf=lambda x: isinstance(x, P))
+    block_sh = shard(P(STREAM_AXIS, None, None))
+    reset_sh = shard(P(STREAM_AXIS))
+
+    from openmeters_tpu.engine.engine import StreamMeta
+
+    meta_shardings = StreamMeta(
+        fold=shard(P(STREAM_AXIS, None, None)), weights=shard(P(STREAM_AXIS, None))
+    )
+
+    step = jax.jit(
+        lambda carry, block, meta, reset: engine.step(carry, block, meta, reset),
+        in_shardings=(carry_sh, block_sh, meta_shardings, reset_sh),
+    )
+
+    def place_carry(carry):
+        return jax.device_put(carry, carry_sh)
+
+    return step, place_carry
