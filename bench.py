@@ -18,10 +18,15 @@ vs_baseline is the ratio against the 10,000-streams/chip north star
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent compile cache: tunnel compiles are slow; cache them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 NORTH_STAR_STREAMS = 10_000.0
 
@@ -49,7 +54,7 @@ def measure(engine, n_streams: int, iters: int = 20) -> dict:
     block = (rng.standard_normal((n_streams, b, cfg.channels)) * 0.25).astype(
         np.float32
     )
-    meta = StreamMeta.default(n_streams, channels=2)
+    meta = StreamMeta.default(n_streams, channels=2, pad_channels=cfg.channels)
     reset = np.zeros((n_streams,), bool)
 
     carry = engine.init(n_streams)

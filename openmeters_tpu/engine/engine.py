@@ -48,15 +48,18 @@ class StreamMeta(NamedTuple):
     weights: jnp.ndarray  # [S, C] BS.1770 channel weights
 
     @staticmethod
-    def default(n_streams: int, channels: int = 2) -> "StreamMeta":
+    def default(
+        n_streams: int, channels: int = 2, pad_channels: int = MAX_AUDIO_CHANNELS
+    ) -> "StreamMeta":
         positions = channel_fallback(channels)
         return StreamMeta(
             fold=jnp.tile(
-                jnp.asarray(stereo_matrix(channels, positions))[None],
+                jnp.asarray(stereo_matrix(channels, positions))[None, :pad_channels],
                 (n_streams, 1, 1),
             ),
             weights=jnp.tile(
-                jnp.asarray(channel_weights(positions))[None], (n_streams, 1)
+                jnp.asarray(channel_weights(positions))[None, :pad_channels],
+                (n_streams, 1),
             ),
         )
 
@@ -192,7 +195,7 @@ class MeterEngine:
             }
 
         def fb_specs():
-            return {"buf": P(axis, None), "avail": P(axis)}
+            return {"buf": P(axis, None), "avail": P(), "fresh": P(axis)}
 
         out = {}
         if "loudness" in self.analyzers:

@@ -5,22 +5,28 @@ spectrogram and spectrum processors (``spectrogram/processor.rs:281-437``,
 ``spectrum/processor.rs:179-298``): a window of ``read_len`` samples is ready
 whenever the buffer holds at least that many; each emitted window advances
 the timeline by ``hop`` samples; hops larger than the buffer produce a
-pending-skip debt so output is block-partition independent.
+pending-skip debt (``pending_skip_samples``) so output is block-partition
+independent.
 
 TPU formulation: a right-aligned ring ``[lanes, read_len + B]`` shifted left
-by exactly ``B`` every step (static slice — no per-lane pointers in the data
-layout), plus a per-lane signed ``avail`` counter.  ``avail`` < 0 encodes the
-reference's ``pending_skip_samples``.  Because each step ingests a fixed
-``B`` frames, at most ``cols_cap = (B-1)//hop + 1`` windows become ready per
-step, so outputs are a fixed ``[lanes, cols_cap, read_len]`` gather plus a
-validity mask — the TPU-native replacement for the reference's dynamic
-``Vec<SpectrogramColumn>``.
+by exactly ``B`` every step, with a *global* scalar hop phase shared by all
+lanes — so each ready window is one cheap ``lax.dynamic_slice`` (contiguous,
+TPU-friendly) instead of a per-lane gather.  Per-lane resets are expressed as
+a post-reset sample counter: a window is valid for a lane only when every
+sample in it is post-reset, which reproduces the reference's
+``reset_audio``-then-refill values exactly; the only deviation is that a
+reset lane's first column lands on the global hop grid rather than exactly
+``read_len`` samples after the reset (a sub-hop timing shift, values
+identical).  Since each step ingests a fixed ``B`` frames, at most
+``cols_cap = (B-1)//hop + 1`` windows become ready per step: outputs are a
+fixed ``[lanes, cols_cap, read_len]`` batch plus a validity mask.
 """
 
 from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 
@@ -41,44 +47,59 @@ class FrameBuffer:
     def init(self, lanes: int) -> dict:
         return {
             "buf": jnp.zeros((lanes, self.ring_len), jnp.float32),
-            "avail": jnp.zeros((lanes,), jnp.int32),
+            "avail": jnp.zeros((), jnp.int32),  # global hop phase
+            "fresh": jnp.zeros((lanes,), jnp.int32),  # post-reset samples
         }
 
     def push(self, carry: dict, block, reset_mask=None):
         """Ingest ``[lanes, B]`` samples; emit ready windows.
 
         Returns ``(new_carry, frames [lanes, cols_cap, read_len],
-        valid [lanes, cols_cap])``.  Invalid slots repeat the last valid
-        window (callers mask).  ``reset_mask`` restarts those lanes' timelines
-        (reference ``reset_audio``: buffer cleared, skip debt dropped).
+        valid [lanes, cols_cap])``.  Invalid slots repeat a ready window
+        (callers mask).
         """
         b = self.block
         assert block.shape[-1] == b
-        avail = carry["avail"]
+        fresh = carry["fresh"]
         if reset_mask is not None:
-            avail = jnp.where(reset_mask, 0, avail)
+            fresh = jnp.where(reset_mask, 0, fresh)
+        fresh = jnp.minimum(fresh + b, jnp.int32(2**30))
 
         buf = jnp.concatenate([carry["buf"][:, b:], block], axis=-1)
-        avail_p = jnp.minimum(avail + b, self.ring_len)
+        avail_p = jnp.minimum(carry["avail"] + b, self.ring_len)
 
         ready = jnp.where(
             avail_p >= self.read_len,
             (avail_p - self.read_len) // self.hop + 1,
             0,
         )
-        ready = jnp.minimum(ready, self.cols_cap)
+        ready = jnp.clip(ready, 0, self.cols_cap)  # scalar
 
         # Window k (k = 0 oldest this step) starts at buffer index
         # ring_len - avail_p + k*hop and spans read_len samples.
-        k = jnp.arange(self.cols_cap, dtype=jnp.int32)
-        k_eff = jnp.minimum(k[None, :], jnp.maximum(ready - 1, 0)[:, None])
-        starts = (self.ring_len - avail_p)[:, None] + k_eff * self.hop  # [lanes, cap]
-        offs = jnp.arange(self.read_len, dtype=jnp.int32)
-        idx = starts[:, :, None] + offs[None, None, :]
-        frames = jnp.take_along_axis(
-            buf[:, None, :], idx, axis=-1
-        )  # [lanes, cap, read_len]
-        valid = k[None, :] < ready[:, None]
+        base = self.ring_len - avail_p
+        frames = []
+        for k in range(self.cols_cap):
+            k_eff = jnp.minimum(jnp.int32(k), jnp.maximum(ready - 1, 0))
+            start = jnp.clip(base + k_eff * self.hop, 0, self.ring_len - self.read_len)
+            frames.append(
+                jax.lax.dynamic_slice(
+                    buf, (jnp.int32(0), start), (buf.shape[0], self.read_len)
+                )
+            )
+        frames = jnp.stack(frames, axis=1)  # [lanes, cap, read_len]
 
-        new_carry = {"buf": buf, "avail": avail_p - ready * self.hop}
+        # lane validity: the window must be entirely post-reset.  Window k
+        # ends (ready - 1 - k) * hop samples before the newest sample.
+        k = jnp.arange(self.cols_cap, dtype=jnp.int32)
+        tail = (ready - 1 - k) * self.hop  # [cap]
+        valid = (k[None, :] < ready) & (
+            fresh[:, None] >= self.read_len + jnp.maximum(tail, 0)[None, :]
+        )
+
+        new_carry = {
+            "buf": buf,
+            "avail": avail_p - ready * self.hop,
+            "fresh": fresh,
+        }
         return new_carry, frames, valid
