@@ -1,0 +1,746 @@
+"""Oscilloscope: NSDF pitch detection + waveform-stable trigger.
+
+Reference parity: ``src/visuals/oscilloscope/processor.rs`` (the reference's
+largest processor):
+
+- ``PeriodEstimator``: McLeod-style NSDF via FFT autocorrelation with
+  prefix-energy normalization; peak picking takes the *earliest* candidate
+  within 0.93x of the global best, parabolic refinement; range 20 Hz..8 kHz,
+  0.1 s probe, confidence = clamped NSDF peak (processor.rs:85-181).
+- ``StableTrigger``: a retunable waveform reference template (resampled on
+  >1 semitone pitch change), candidate = Gaussian-edged slope template +
+  reference, normalized-correlation search over ~1.5 periods, template reset
+  when match < 0.3, EMA smoothing of period (0.35) and reference (0.5), lock
+  lost after 4 missed periods (processor.rs:184-528).
+- Zero-crossing mode: rising-edge search at both ends (processor.rs:530-551,
+  769-786).
+- Snapshot: traces linearly resampled with fractional start offset
+  (processor.rs:725-803).
+
+TPU formulation: everything is sized to the *static* worst case (period <=
+rate/20 Hz) with dynamic lengths expressed as masks; the reference's
+coarse-to-fine CPU correlation search (processor.rs:441-475) becomes one
+dense FFT cross-correlation — an exact superset of the strided search.  All
+data-dependent control flow (lock/unlock, template reset, retune) is masked
+``jnp.where`` state in the carry.  Batched over ``[n_streams]``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmeters_tpu.utils.channels import Channel, projection_vector
+
+TRACE_COUNT = 2
+OUTPUT_POINTS = 4096  # reference snapshot budget (processor.rs:726)
+
+# PeriodEstimator constants (processor.rs:86-92)
+MIN_HZ = 20.0
+MAX_HZ = 8000.0
+PROBE_SECONDS = 0.1
+MIN_SIGNAL_PEAK = 0.001
+MIN_PERIODICITY = 0.5
+PEAK_CUTOFF = 0.93
+
+# StableTrigger constants (processor.rs:285-297)
+WINDOW_SECONDS = 0.04
+MIN_CYCLES = 2.0
+SEARCH_PERIODS = 1.5
+NORMALIZE_FLOOR = 0.01
+MEAN_RESPONSIVENESS = 0.25
+EDGE_STRENGTH = 1.0
+BUFFER_RESPONSIVENESS = 0.5
+BUFFER_FALLOFF_PERIODS = 0.5
+BUFFER_RETUNE_SEMITONES = 1.0
+SLOPE_WIDTH_PERIODS = 0.25
+RESET_BELOW_MATCH = 0.3
+MAX_MISSED_PERIODS = 4
+
+
+class TriggerMode(enum.Enum):
+    ZERO_CROSSING = "zero_crossing"
+    STABLE = "stable"
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(n - 1, 1).bit_length()
+
+
+@dataclasses.dataclass(frozen=True)
+class OscilloscopeConfig:
+    sample_rate: float = 48_000.0
+    segment_duration: float = 0.02
+    trigger_mode: TriggerMode = TriggerMode.STABLE
+    num_cycles: int = 2
+    trigger_source: Channel = Channel.MID
+    channel_1: Channel = Channel.MID
+    channel_2: Channel = Channel.NONE
+    block_frames: int = 256
+
+
+class OscilloscopeSnapshot(NamedTuple):
+    samples: jnp.ndarray  # [S, 2, OUTPUT_POINTS] resampled traces
+    trace_valid: jnp.ndarray  # [S, 2]
+    span: jnp.ndarray  # [S] capture span in samples
+    start: jnp.ndarray  # [S] capture start index within the history window
+    frac: jnp.ndarray  # [S] fractional start offset
+    period: jnp.ndarray  # [S] locked period (samples), 0 when unlocked
+    locked: jnp.ndarray  # [S] bool — stable trigger lock
+
+
+@dataclasses.dataclass(frozen=True)
+class OscilloscopeAnalyzer:
+    config: OscilloscopeConfig = OscilloscopeConfig()
+
+    # -- static sizing ------------------------------------------------------
+
+    @property
+    def base_frames(self) -> int:
+        cfg = self.config
+        return max(int(round(cfg.sample_rate * cfg.segment_duration)), 1)
+
+    @property
+    def max_period(self) -> int:
+        return int(math.ceil(self.config.sample_rate / MIN_HZ))
+
+    @property
+    def min_period(self) -> int:
+        return max(int(round(self.config.sample_rate / MAX_HZ)), 2)
+
+    @property
+    def probe_frames(self) -> int:
+        return max(
+            int(round(self.config.sample_rate * PROBE_SECONDS)), self.max_period * 2
+        )
+
+    @property
+    def kernel_cap(self) -> int:
+        """trigger_kernel_len at max period (processor.rs:184-189)."""
+        return max(
+            int(round(max(self.config.sample_rate * WINDOW_SECONDS,
+                          self.max_period * MIN_CYCLES))),
+            2,
+        )
+
+    @property
+    def search_cap(self) -> int:
+        return max(int(math.ceil(self.max_period * SEARCH_PERIODS)), 1)
+
+    @property
+    def work_cap(self) -> int:
+        return self.search_cap + self.kernel_cap
+
+    @property
+    def history_frames(self) -> int:
+        cfg = self.config
+        if cfg.trigger_mode is TriggerMode.ZERO_CROSSING:
+            trigger = self.base_frames + self.max_period
+        else:
+            # stable_history_frames (processor.rs:761-767)
+            max_tail = max(
+                self.max_period * max(cfg.num_cycles, 1) + 1,
+                -(-self.kernel_cap // 2),
+            )
+            trigger = self.kernel_cap // 2 + max_tail + self.search_cap + 2
+        return max(self.probe_frames, self.base_frames, trigger)
+
+    @property
+    def nsdf_fft(self) -> int:
+        return _next_pow2(self.probe_frames + self.max_period)
+
+    @property
+    def corr_fft(self) -> int:
+        return _next_pow2(self.work_cap + self.kernel_cap)
+
+    # -- trace wiring (static) ----------------------------------------------
+
+    @property
+    def trace_channels(self):
+        return (self.config.channel_1, self.config.channel_2)
+
+    @property
+    def active_traces(self):
+        return tuple(ch is not Channel.NONE for ch in self.trace_channels)
+
+    @property
+    def trigger_slot(self) -> int:
+        """Index in the history ring driving the trigger: a matching trace,
+        or slot 2 (separate source projection)."""
+        src = self.config.trigger_source
+        for i, ch in enumerate(self.trace_channels):
+            if ch is src and self.active_traces[i]:
+                return i
+        return 2
+
+    @property
+    def needs_source_ring(self) -> bool:
+        return (
+            self.trigger_slot == 2 and self.config.trigger_source is not Channel.NONE
+        )
+
+    # -- state ----------------------------------------------------------------
+
+    def init(self, n_streams: int) -> dict:
+        s = n_streams
+        k = self.kernel_cap
+        return {
+            "hist": jnp.zeros((s, 3, self.history_frames), jnp.float32),
+            "fresh": jnp.zeros((s,), jnp.int32),
+            # stable-trigger state (single linked/source trigger)
+            "period": jnp.zeros((s,), jnp.float32),
+            "has_period": jnp.zeros((s,), bool),
+            "missed": jnp.zeros((s,), jnp.int32),
+            "mean": jnp.zeros((s,), jnp.float32),
+            "reference": jnp.zeros((s, k), jnp.float32),
+            "ref_period": jnp.zeros((s,), jnp.float32),
+            "ref_len": jnp.zeros((s,), jnp.int32),
+        }
+
+    def pspecs(self, axis: str):
+        from jax.sharding import PartitionSpec as P
+
+        return {
+            "hist": P(axis, None, None),
+            "fresh": P(axis),
+            "period": P(axis),
+            "has_period": P(axis),
+            "missed": P(axis),
+            "mean": P(axis),
+            "reference": P(axis, None),
+            "ref_period": P(axis),
+            "ref_len": P(axis),
+        }
+
+    # -- NSDF period estimation (processor.rs:93-181) -------------------------
+
+    def _estimate_period(self, probe):
+        """``probe``: [S, P] most-recent samples.  Returns dict of [S] arrays:
+        period, confidence, detected, last_peak."""
+        p = probe.shape[-1]
+        mean = jnp.mean(probe, axis=-1, keepdims=True)
+        c = probe - mean
+        last_peak = jnp.max(jnp.abs(c), axis=-1)
+
+        max_lag = min(self.max_period, p // 2)
+        nfft = self.nsdf_fft
+        spec = jnp.fft.rfft(c, n=nfft, axis=-1)
+        ac = jnp.fft.irfft(spec * jnp.conj(spec), n=nfft, axis=-1)[..., : max_lag + 1]
+
+        e = jnp.cumsum(c * c, axis=-1)
+        e = jnp.concatenate([jnp.zeros_like(e[..., :1]), e], axis=-1)  # [S, P+1]
+        total = e[..., -1]
+        taus = np.arange(max_lag + 1)
+        left = e[..., p - taus]  # e[p - tau]
+        right = total[..., None] - jnp.take(e, taus, axis=-1)
+        denom = left + right
+        nsdf = jnp.where(denom > 1e-7, 2.0 * ac / jnp.maximum(denom, 1e-30), 0.0)
+
+        # first zero crossing tau >= 1
+        nonpos = nsdf[:, 1:] <= 0.0
+        has_zc = jnp.any(nonpos, axis=-1)
+        zc = jnp.argmax(nonpos, axis=-1) + 1
+        first_tau = jnp.maximum(self.min_period, zc)
+
+        tau_idx = np.arange(max_lag + 1)
+        prev = jnp.concatenate([nsdf[:, :1], nsdf[:, :-1]], axis=-1)
+        nxt = jnp.concatenate([nsdf[:, 1:], nsdf[:, -1:]], axis=-1)
+        in_range = (tau_idx[None, :] >= first_tau[:, None]) & (
+            tau_idx[None, :] < max_lag
+        )
+        cand = (
+            in_range
+            & (nsdf >= MIN_PERIODICITY)
+            & (nsdf >= prev)
+            & (nsdf >= nxt)
+        )
+        any_cand = jnp.any(cand, axis=-1)
+        best_val = jnp.max(jnp.where(cand, nsdf, -jnp.inf), axis=-1)
+        best_idx = jnp.argmax(jnp.where(cand, nsdf, -jnp.inf), axis=-1)
+        cutoff = best_val * PEAK_CUTOFF
+        early = cand & (nsdf >= cutoff[:, None]) & (tau_idx[None, :] <= best_idx[:, None])
+        peak = jnp.argmax(early, axis=-1)  # first True
+        peak = jnp.where(jnp.any(early, axis=-1), peak, best_idx)
+
+        take = jax.vmap(lambda a, i: a[i])
+        y0 = take(nsdf, jnp.maximum(peak - 1, 0))
+        y1 = take(nsdf, peak)
+        y2 = take(nsdf, jnp.minimum(peak + 1, max_lag))
+        period = _parabolic_refine(y0, y1, y2, peak)
+        confidence = jnp.clip(y1, 0.0, 1.0)
+
+        detected = (
+            (last_peak >= MIN_SIGNAL_PEAK)
+            & (max_lag > self.min_period + 1)
+            & has_zc
+            & (first_tau < max_lag)
+            & any_cand
+            & (total > 1e-7)
+        )
+        return {
+            "period": period,
+            "confidence": confidence,
+            "detected": detected,
+            "last_peak": last_peak,
+        }
+
+    # -- stable trigger (processor.rs:273-528) --------------------------------
+
+    def _stable_capture(self, state, trace, fresh_ok):
+        """Batched StableTrigger::capture.  ``trace``: [S, HIST].
+
+        Returns (new_state, capture dict with span/start/frac [S]).
+        """
+        cfg = self.config
+        s, hist = trace.shape
+        rate = cfg.sample_rate
+        cycles = max(cfg.num_cycles, 1)
+        kcap, scap, wcap = self.kernel_cap, self.search_cap, self.work_cap
+
+        probe = trace[:, hist - self.probe_frames :]
+        est = self._estimate_period(probe)
+
+        # silence unlocks (processor.rs:322-325)
+        silent = est["last_peak"] < MIN_SIGNAL_PEAK
+        has_period = jnp.where(silent, False, state["has_period"])
+        missed = jnp.where(silent, 0, state["missed"])
+        mean_state = jnp.where(silent, 0.0, state["mean"])
+        reference = jnp.where(silent[:, None], 0.0, state["reference"])
+        ref_period = jnp.where(silent, 0.0, state["ref_period"])
+        ref_len = jnp.where(silent, 0, state["ref_len"])
+        prev_period = jnp.where(silent, 0.0, state["period"])
+
+        # stabilize (processor.rs:336-356)
+        detected = est["detected"] & fresh_ok
+        est_p = est["period"]
+        ratio_ok = has_period & (est_p / jnp.maximum(prev_period, 1e-6) >= 0.9) & (
+            est_p / jnp.maximum(prev_period, 1e-6) <= 1.1
+        )
+        smoothed = jnp.where(ratio_ok, prev_period + 0.35 * (est_p - prev_period), est_p)
+        # on miss: hold previous period (confidence 0) until MAX_MISSED
+        missed_next = jnp.where(detected, 0, missed + 1)
+        hold = ~detected & has_period & (missed_next <= MAX_MISSED_PERIODS)
+        unlock = ~detected & (~has_period | (missed_next > MAX_MISSED_PERIODS))
+        period = jnp.where(detected, smoothed, jnp.where(hold, prev_period, 0.0))
+        confidence = jnp.where(detected, est["confidence"], 0.0)
+        has_period = detected | hold
+        missed = jnp.where(detected, 0, jnp.where(hold, missed_next, 0))
+        # full unlock clears the template too (processor.rs:298-304)
+        reference = jnp.where(unlock[:, None], 0.0, reference)
+        ref_period = jnp.where(unlock, 0.0, ref_period)
+        ref_len = jnp.where(unlock, 0, ref_len)
+        mean_state = jnp.where(unlock, 0.0, mean_state)
+
+        locked = has_period
+
+        # locate (processor.rs:358-411) — all dynamic lengths masked
+        p = jnp.maximum(period, 1.0)
+        span = p * cycles
+        frames = jnp.ceil(span).astype(jnp.int32) + 1
+        klen = jnp.clip(
+            jnp.round(jnp.maximum(rate * WINDOW_SECONDS, p * MIN_CYCLES)), 2, kcap
+        ).astype(jnp.int32)
+        before = klen // 2
+        after = klen - before
+        right = hist - jnp.maximum(frames, after)
+        can_locate = locked & (right >= before)
+        search = jnp.clip(
+            jnp.round(p * SEARCH_PERIODS).astype(jnp.int32), 1, klen // 2
+        )
+        search = jnp.minimum(search, jnp.maximum(right - before, 1))
+        left = right - search
+
+        # work = trace[left-before : right+after], end-aligned into [S, wcap]
+        work_end = right + after
+        w_start = jnp.clip(work_end - wcap, 0, hist - wcap)
+        work = _dyn_slice_rows(trace, w_start, wcap)
+        # valid region of work: last (search + klen) entries
+        wlen = search + klen
+        widx = np.arange(wcap)
+        wvalid = widx[None, :] >= (wcap - wlen)[:, None]
+
+        wmean = jnp.sum(jnp.where(wvalid, work, 0.0), axis=-1) / jnp.maximum(
+            wlen.astype(jnp.float32), 1.0
+        )
+        mean_state = jnp.where(
+            can_locate,
+            mean_state + MEAN_RESPONSIVENESS * (wmean - mean_state),
+            mean_state,
+        )
+        work = jnp.where(wvalid, work - mean_state[:, None], 0.0)
+
+        # retune reference (processor.rs:486-498)
+        ref_empty = ref_len == 0
+        semis = jnp.abs(jnp.log2(jnp.maximum(p, 1e-6) / jnp.maximum(ref_period, 1e-6))) * 12.0
+        need_retune = ~ref_empty & ((ref_len != klen) | (semis >= BUFFER_RETUNE_SEMITONES))
+        retuned = _retune(reference, ref_len, ref_period, p, klen, kcap)
+        reference = jnp.where(
+            can_locate[:, None],
+            jnp.where(need_retune[:, None], retuned, reference),
+            reference,
+        )
+        ref_period = jnp.where(can_locate, jnp.where(ref_empty, p, jnp.where(need_retune, p, ref_period)), ref_period)
+        ref_len = jnp.where(can_locate, klen, ref_len)
+
+        use_reference = jnp.any(jnp.abs(reference) > 1.0e-3, axis=-1)
+
+        kidx = np.arange(kcap)
+        kmask = kidx[None, :] < klen[:, None]
+
+        def template_of(use_ref):
+            edges = _edge_template(klen, p, kcap)
+            t = jnp.where(use_ref[:, None], edges + reference, edges)
+            return jnp.where(kmask, t, 0.0)
+
+        def search_best(template):
+            scores = _masked_norm_corr(
+                work, wvalid, template, kmask, klen, search, wcap, scap, self.corr_fft
+            )
+            oidx = np.arange(scap + 1)
+            ovalid = oidx[None, :] <= search[:, None]
+            best = jnp.argmax(jnp.where(ovalid, scores, -jnp.inf), axis=-1)
+            take = jax.vmap(lambda a, i: a[i])
+            b0 = take(scores, jnp.maximum(best - 1, 0))
+            b1 = take(scores, best)
+            b2 = take(scores, jnp.minimum(best + 1, scap))
+            interior = (best > 0) & (best < search)
+            frac = jnp.where(
+                interior,
+                jnp.clip(_parabolic_refine(b0, b1, b2, best) - best, -0.5, 0.5),
+                0.0,
+            )
+            return best.astype(jnp.int32), frac
+
+        template = template_of(use_reference)
+        best, frac = search_best(template)
+
+        # candidate write + reference reset check (processor.rs:381-399,509-527)
+        def candidate_at(offset):
+            # segment = work[wcap - wlen + offset : ... + klen]
+            cstart = (wcap - wlen) + offset
+            seg = _dyn_slice_rows(work, cstart, kcap)
+            seg = jnp.where(kmask, seg, 0.0)
+            cmean = jnp.sum(seg, axis=-1) / jnp.maximum(klen.astype(jnp.float32), 1.0)
+            cand = jnp.where(kmask, seg - cmean[:, None], 0.0)
+            peakv = jnp.max(jnp.abs(cand), axis=-1)
+            cand = cand / jnp.maximum(peakv, NORMALIZE_FLOOR)[:, None]
+            std = jnp.maximum(p * BUFFER_FALLOFF_PERIODS, 1.0)
+            g = _gaussian_sym(klen, std, kcap)
+            return cand * g
+
+        confident = confidence >= MIN_PERIODICITY
+        cand = candidate_at(best)
+        match = _norm_corr_single(reference, cand, kmask)
+        do_reset = can_locate & confident & use_reference & (match < RESET_BELOW_MATCH)
+
+        # re-search without reference where reset fired
+        template2 = template_of(jnp.zeros_like(use_reference))
+        best2, frac2 = search_best(template2)
+        best = jnp.where(do_reset, best2, best)
+        frac = jnp.where(do_reset, frac2, frac)
+        reference = jnp.where(do_reset[:, None], 0.0, reference)
+        cand = jnp.where(do_reset[:, None], candidate_at(best), cand)
+
+        # reference update (processor.rs:500-507)
+        upd = can_locate & confident
+        refpeak = jnp.max(jnp.abs(reference), axis=-1)
+        ref_norm = reference / jnp.maximum(refpeak, NORMALIZE_FLOOR)[:, None]
+        new_ref = ref_norm + BUFFER_RESPONSIVENESS * (cand - ref_norm)
+        reference = jnp.where(upd[:, None], jnp.where(kmask, new_ref, 0.0), reference)
+        ref_period = jnp.where(upd, ref_period + BUFFER_RESPONSIVENESS * (p - ref_period), ref_period)
+
+        # capture output (processor.rs:401-411)
+        start = left + best
+        borrow = (frac < 0.0) & (start > 0)
+        start = jnp.where(borrow, start - 1, start)
+        frac = jnp.where(borrow, frac + 1.0, frac)
+
+        fb_span = jnp.float32(max(self.base_frames - 1, 1))
+        fb_start = jnp.int32(hist - self.base_frames)
+        cap = {
+            "span": jnp.where(can_locate, span, fb_span),
+            "start": jnp.where(can_locate, start, fb_start).astype(jnp.int32),
+            "frac": jnp.where(can_locate, frac, 0.0),
+            "valid": fresh_ok,
+        }
+        new_state = {
+            "period": jnp.where(has_period, period, 0.0),
+            "has_period": has_period,
+            "missed": missed,
+            "mean": mean_state,
+            "reference": reference,
+            "ref_period": ref_period,
+            "ref_len": ref_len,
+        }
+        return new_state, cap
+
+    # -- zero-crossing capture (processor.rs:769-786) --------------------------
+
+    def _zero_crossing_capture(self, trace, fresh_ok):
+        s, hist = trace.shape
+        frames = min(self.base_frames, hist)
+        rng = self.max_period
+        prev = jnp.concatenate([trace[:, :1], trace[:, :-1]], axis=-1)
+        rising = (trace > 0.0) & (prev <= 0.0)
+        idx = np.arange(hist)
+
+        end = hist - 1
+        right_lo = max(end - rng, 0)
+        in_right = (idx >= right_lo) & (idx <= end)
+        has_r = jnp.any(rising & in_right, axis=-1)
+        right = jnp.where(
+            has_r,
+            jnp.max(jnp.where(rising & in_right, idx, -1), axis=-1),
+            end,
+        ).astype(jnp.int32)
+
+        left_lo = jnp.maximum(right - frames, 0)
+        left_hi = jnp.minimum(left_lo + rng, jnp.maximum(right - 2, 0))
+        in_left = (idx[None, :] >= left_lo[:, None]) & (idx[None, :] <= left_hi[:, None])
+        lmask = rising & in_left
+        has_l = jnp.any(lmask, axis=-1)
+        left = jnp.where(
+            has_l,
+            jnp.argmax(lmask, axis=-1),  # first rising edge ascending
+            left_lo,
+        ).astype(jnp.int32)
+
+        return {
+            "span": jnp.maximum(right - left, 1).astype(jnp.float32),
+            "start": left,
+            "frac": jnp.zeros((s,), jnp.float32),
+            "valid": fresh_ok & (frames > 0),
+        }
+
+    # -- step -------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def step(self, carry: dict, block, reset_mask=None):
+        """One hop of ``[S, B, 2]`` folded stereo. Returns (carry, snapshot)."""
+        cfg = self.config
+        s, b, _ = block.shape
+        hist_len = self.history_frames
+
+        fresh = carry["fresh"]
+        state = {k: carry[k] for k in
+                 ("period", "has_period", "missed", "mean", "reference", "ref_period", "ref_len")}
+        hist = carry["hist"]
+        if reset_mask is not None:
+            rm = reset_mask
+            fresh = jnp.where(rm, 0, fresh)
+            hist = jnp.where(rm[:, None, None], 0.0, hist)
+            for k in state:
+                z = jnp.zeros_like(state[k])
+                state[k] = jnp.where(
+                    rm[:, None] if state[k].ndim == 2 else rm, z, state[k]
+                )
+        fresh = jnp.minimum(fresh + b, jnp.int32(2**30))
+
+        # project and append to history rings
+        projs = [
+            projection_vector(cfg.channel_1),
+            projection_vector(cfg.channel_2),
+            projection_vector(cfg.trigger_source),
+        ]
+        proj = np.stack(projs, axis=1)  # [2, 3]
+        newest = jnp.einsum("sbc,ch->shb", block.astype(jnp.float32), proj)  # [S,3,B]
+        if b >= hist_len:
+            hist = newest[:, :, b - hist_len :]
+        else:
+            hist = jnp.concatenate([hist, newest], axis=-1)[:, :, -hist_len:]
+
+        fresh_ok = fresh >= jnp.int32(min(self.base_frames, hist_len))
+        trig_trace = hist[:, self.trigger_slot if self.trigger_slot < 2 else 2]
+
+        if cfg.trigger_mode is TriggerMode.ZERO_CROSSING:
+            capture = self._zero_crossing_capture(trig_trace, fresh_ok)
+            new_state = state
+            locked = jnp.zeros((s,), bool)
+            period = jnp.zeros((s,), jnp.float32)
+        else:
+            stable_ok = fresh >= jnp.int32(min(self.history_frames, 2**30))
+            # reference gates capture on trace.len() >= base_frames; rings are
+            # pre-zeroed so gate on enough fresh samples for the probe window
+            gate = fresh >= jnp.int32(min(self.base_frames, hist_len))
+            del stable_ok
+            new_state, capture = self._stable_capture(state, trig_trace, gate)
+            locked = new_state["has_period"]
+            period = new_state["period"]
+
+        # downsample both traces with the shared capture (processor.rs:788-803)
+        samples = []
+        valids = []
+        for t in range(TRACE_COUNT):
+            if not self.active_traces[t]:
+                samples.append(jnp.zeros((s, OUTPUT_POINTS), jnp.float32))
+                valids.append(jnp.zeros((s,), bool))
+                continue
+            tr = hist[:, t]
+            out = _resample_linear(
+                tr, capture["start"], capture["frac"], capture["span"], OUTPUT_POINTS
+            )
+            samples.append(out)
+            valids.append(capture["valid"])
+
+        new_carry = {"hist": hist, "fresh": fresh, **new_state}
+        return new_carry, OscilloscopeSnapshot(
+            samples=jnp.stack(samples, axis=1),
+            trace_valid=jnp.stack(valids, axis=1),
+            span=capture["span"],
+            start=capture["start"],
+            frac=capture["frac"],
+            period=jnp.where(locked, period, 0.0),
+            locked=locked,
+        )
+
+
+# -- helpers -------------------------------------------------------------------
+
+
+def _parabolic_refine(y0, y1, y2, tau):
+    """reference processor.rs:14-19."""
+    denom = y0 - 2.0 * y1 + y2
+    delta = jnp.where(
+        jnp.abs(denom) < 1e-7, 0.0, 0.5 * (y0 - y2) / jnp.where(jnp.abs(denom) < 1e-7, 1.0, denom)
+    )
+    return jnp.maximum(tau.astype(jnp.float32) + jnp.clip(delta, -1.0, 1.0), 1.0)
+
+
+def _dyn_slice_rows(x, starts, length: int):
+    """Per-row dynamic slice: x [S, N], starts [S] -> [S, length]."""
+    starts = jnp.clip(starts, 0, x.shape[-1] - length)
+    return jax.vmap(
+        lambda row, st: jax.lax.dynamic_slice(row, (st,), (length,))
+    )(x, starts)
+
+
+def _gaussian_sym(length, std, cap: int):
+    """gaussian(len, i, std) over a capacity buffer (processor.rs:199-204)."""
+    i = np.arange(cap, dtype=np.float32)
+    center = (length.astype(jnp.float32) - 1.0) * 0.5
+    x = (i[None, :] - center[:, None]) / jnp.maximum(std, 1e-6)[:, None]
+    g = jnp.exp(-0.5 * x * x)
+    ok = (length > 1)[:, None] & (i[None, :] < length[:, None])
+    return jnp.where(ok, g, 0.0)
+
+
+def _edge_template(length, period, cap: int):
+    """Gaussian-edged slope template (processor.rs:422-439): -w on the left
+    half, +w on the right, center positive."""
+    max_width = jnp.maximum(jnp.maximum(length // 2, 1).astype(jnp.float32) / 3.0, 1.0)
+    width = jnp.clip(period * SLOPE_WIDTH_PERIODS, 1.0, max_width)
+    g = _gaussian_sym(length, width, cap)
+    i = np.arange(cap, dtype=np.int32)
+    sign = jnp.where(2 * i[None, :] >= (length - 1)[:, None], 1.0, -1.0)
+    return EDGE_STRENGTH * g * sign
+
+
+def _norm_corr_single(x, y, mask):
+    """Normalized correlation of two masked buffers (processor.rs:210-236)."""
+    n = jnp.maximum(jnp.sum(mask, axis=-1).astype(jnp.float32), 1.0)
+    xm = jnp.where(mask, x, 0.0)
+    ym = jnp.where(mask, y, 0.0)
+    sx = jnp.sum(xm, axis=-1)
+    sy = jnp.sum(ym, axis=-1)
+    sxx = jnp.sum(xm * xm, axis=-1)
+    syy = jnp.sum(ym * ym, axis=-1)
+    sxy = jnp.sum(xm * ym, axis=-1)
+    dot = sxy - sx * sy / n
+    ex = jnp.maximum(sxx - sx * sx / n, 0.0)
+    ey = jnp.maximum(syy - sy * sy / n, 0.0)
+    denom = jnp.sqrt(ex * ey)
+    return jnp.where(denom > 1e-7, jnp.clip(dot / jnp.maximum(denom, 1e-30), -1, 1), 0.0)
+
+
+def _masked_norm_corr(work, wvalid, template, kmask, klen, search, wcap, scap, nfft):
+    """Dense normalized correlation scores at offsets 0..search.
+
+    work: [S, wcap] end-aligned (valid region = last search+klen entries);
+    template: [S, kcap].  Offset o starts at work index (wcap - search - klen
+    + o).  Returns [S, scap+1] scores.
+    """
+    s = work.shape[0]
+    kcap = template.shape[-1]
+    t = jnp.where(kmask, template, 0.0)
+    w = jnp.where(wvalid, work, 0.0)
+
+    # sliding dot via FFT cross-correlation
+    wf = jnp.fft.rfft(w, n=nfft, axis=-1)
+    tf = jnp.fft.rfft(t, n=nfft, axis=-1)
+    corr = jnp.fft.irfft(wf * jnp.conj(tf), n=nfft, axis=-1)  # [S, nfft]
+    # dot at work-start index j lives at corr[j]
+    base = wcap - search - klen
+    offsets = np.arange(scap + 1)
+    take_many = jax.vmap(lambda a, i: a[i])
+    jidx = jnp.clip(base[:, None] + offsets[None, :], 0, nfft - 1)
+    dots = take_many(corr, jidx)  # [S, scap+1]
+
+    # sliding sums of work and work^2 over klen-windows via cumsum
+    cw = jnp.cumsum(w, axis=-1)
+    cw = jnp.concatenate([jnp.zeros_like(cw[..., :1]), cw], axis=-1)
+    cw2 = jnp.cumsum(w * w, axis=-1)
+    cw2 = jnp.concatenate([jnp.zeros_like(cw2[..., :1]), cw2], axis=-1)
+    lo = jnp.clip(base[:, None] + offsets[None, :], 0, wcap)
+    hi = jnp.clip(lo + klen[:, None], 0, wcap)
+    sx = take_many(cw, hi) - take_many(cw, lo)
+    sxx = take_many(cw2, hi) - take_many(cw2, lo)
+
+    st = jnp.sum(t, axis=-1, keepdims=True)
+    stt = jnp.sum(t * t, axis=-1, keepdims=True)
+    n = jnp.maximum(klen.astype(jnp.float32), 1.0)[:, None]
+    dot = dots - sx * st / n
+    ex = jnp.maximum(sxx - sx * sx / n, 0.0)
+    ey = jnp.maximum(stt - st * st / n, 0.0)
+    denom = jnp.sqrt(ex * ey)
+    return jnp.where(denom > 1e-7, jnp.clip(dot / jnp.maximum(denom, 1e-30), -1, 1), 0.0)
+
+
+def _retune(reference, ref_len, old_period, new_period, new_len, cap: int):
+    """Resample the reference template around its center
+    (processor.rs:249-263)."""
+    ratio = new_period / jnp.maximum(old_period, 1e-6)
+    ok = jnp.isfinite(ratio) & (ratio > 1e-7)
+    old_center = jnp.maximum(ref_len - 1, 0).astype(jnp.float32) * 0.5
+    new_center = jnp.maximum(new_len - 1, 0).astype(jnp.float32) * 0.5
+    i = np.arange(cap, dtype=np.float32)
+    pos = old_center[:, None] + (i[None, :] - new_center[:, None]) / jnp.maximum(
+        ratio, 1e-7
+    )[:, None]
+    out = _sample_linear_zero(reference, pos, ref_len)
+    valid = (i[None, :] < new_len[:, None]) & ok[:, None]
+    return jnp.where(valid, out, 0.0)
+
+
+def _sample_linear_zero(data, pos, data_len):
+    """sample_linear_zero (processor.rs:238-247) with per-row lengths."""
+    last = jnp.maximum(data_len - 1, 0).astype(jnp.float32)[:, None]
+    ok = (pos >= 0.0) & (pos <= last)
+    p = jnp.clip(pos, 0.0, last)
+    i0 = jnp.floor(p).astype(jnp.int32)
+    frac = p - i0.astype(jnp.float32)
+    i1 = jnp.minimum(i0 + 1, jnp.maximum(data_len - 1, 0)[:, None])
+    take = jax.vmap(lambda a, i: a[i])
+    v0 = take(data, i0)
+    v1 = take(data, i1)
+    return jnp.where(ok, v0 + (v1 - v0) * frac, 0.0)
+
+
+def _resample_linear(trace, start, frac, span, points: int):
+    """downsample_trace (processor.rs:788-803): `points` linearly interpolated
+    samples from `start + frac` spanning `span` samples."""
+    s, hist = trace.shape
+    last = jnp.float32(hist - 1) - start.astype(jnp.float32)
+    frac = jnp.clip(frac, 0.0, jnp.maximum(last, 0.0))
+    sp = jnp.minimum(span, last - frac)
+    step = sp / (points - 1)
+    i = np.arange(points, dtype=np.float32)
+    pos = start.astype(jnp.float32)[:, None] + frac[:, None] + i[None, :] * step[:, None]
+    lens = jnp.full((s,), hist, jnp.int32)
+    return _sample_linear_zero(trace, pos, lens)

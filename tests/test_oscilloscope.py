@@ -1,0 +1,241 @@
+"""Oscilloscope tests (reference oscilloscope/processor.rs tests)."""
+
+import numpy as np
+import pytest
+
+from openmeters_tpu.analyzers.oscilloscope import (
+    OscilloscopeAnalyzer,
+    OscilloscopeConfig,
+    TriggerMode,
+)
+from openmeters_tpu.utils.channels import Channel
+
+RATE = 48_000.0
+BLOCK = 1024
+TAU = 2.0 * np.pi
+
+
+def stable_config(**kw):
+    return OscilloscopeConfig(
+        sample_rate=RATE,
+        segment_duration=0.02,
+        trigger_mode=TriggerMode.STABLE,
+        block_frames=BLOCK,
+        **kw,
+    )
+
+
+def periodic(freq, frames, f):
+    return np.asarray(
+        [f(freq * n / RATE) for n in range(frames)], np.float32
+    )
+
+
+def sine(freq, frames):
+    n = np.arange(frames, dtype=np.float32)
+    return np.sin(TAU * freq * n / RATE).astype(np.float32)
+
+
+def noise(frames):
+    seed = 1
+    out = np.empty(frames, np.float32)
+    for i in range(frames):
+        seed = (seed * 1_664_525 + 1_013_904_223) & 0xFFFFFFFF
+        out[i] = (seed / 0xFFFFFFFF) * 2.0 - 1.0
+    return out
+
+
+def feed(ana, carry, signal, mono=True):
+    """Feed mono signal block-by-block; return (carry, snapshots list)."""
+    snaps = []
+    nb = len(signal) // BLOCK
+    for i in range(nb):
+        blk = signal[i * BLOCK : (i + 1) * BLOCK]
+        stereo = np.stack([blk, blk], axis=-1)[None]
+        carry, snap = ana.step(carry, stereo)
+        snaps.append(snap)
+    return carry, snaps
+
+
+def detected_rate(snap):
+    p = float(snap.period[0])
+    return RATE / p if p > 0 else None
+
+
+def test_period_estimation_across_waveforms():
+    # reference processor.rs:957-995
+    ana = OscilloscopeAnalyzer(stable_config())
+    long = int(RATE * 0.1)
+
+    for freq, wave in [
+        (41.0, lambda c: np.sin(TAU * c)),
+        (110.0, lambda c: np.sin(TAU * c)),
+        (440.0, lambda c: np.sin(TAU * c)),
+        (1000.0, lambda c: np.sin(TAU * c)),
+        (4000.0, lambda c: np.sin(TAU * c)),
+        (110.0, lambda c: 2.0 * (c % 1.0) - 1.0),  # saw
+        (440.0, lambda c: 1.0 if (c % 1.0) < 0.5 else -1.0),  # square
+        (440.0, lambda c: np.sin(TAU * c) + 2.0 * np.sin(TAU * 2 * c)),
+    ]:
+        probe = periodic(freq, long, wave)[None, :]
+        est = ana._estimate_period(probe)
+        assert bool(est["detected"][0]), freq
+        det = RATE / float(est["period"][0])
+        assert abs(det - freq) / freq < 0.03, f"{freq}: got {det}"
+        assert float(est["confidence"][0]) >= 0.5
+
+    est = ana._estimate_period(noise(long)[None, :])
+    assert not bool(est["detected"][0])
+
+
+def test_lock_acquisition_on_clean_sine():
+    # reference processor.rs:1196-1206
+    ana = OscilloscopeAnalyzer(stable_config())
+    carry = ana.init(1)
+    carry, snaps = feed(ana, carry, sine(440.0, BLOCK * 20))
+    locked_at = next((i for i, s in enumerate(snaps) if bool(s.locked[0])), None)
+    assert locked_at is not None and locked_at <= 10
+    det = detected_rate(snaps[-1])
+    assert det is not None and abs(det - 440.0) < 20.0
+
+
+def test_cycle_rate_adapts_to_frequency_switch():
+    # reference processor.rs:1208-1227
+    ana = OscilloscopeAnalyzer(stable_config())
+    carry = ana.init(1)
+    warm = sine(440.0, BLOCK * 20)
+    carry, snaps = feed(ana, carry, warm)
+    pre = detected_rate(snaps[-1])
+    assert pre is not None and abs(pre - 440.0) < 20.0
+    # phase-continuous switch to 880
+    t0 = len(warm) / RATE
+    phase0 = TAU * 440.0 * t0
+    n = np.arange(BLOCK * 20, dtype=np.float32)
+    after = np.sin(phase0 + TAU * 880.0 * n / RATE).astype(np.float32)
+    carry, snaps = feed(ana, carry, after)
+    ok = [
+        i
+        for i, s in enumerate(snaps)
+        if (r := detected_rate(s)) is not None and abs(r - 880.0) < 50.0
+    ]
+    assert ok and ok[0] <= 10
+
+
+def test_silence_has_no_lock_then_onset_locks():
+    # reference processor.rs:1229-1245
+    ana = OscilloscopeAnalyzer(stable_config())
+    carry = ana.init(1)
+    carry, snaps = feed(ana, carry, np.zeros(BLOCK * 10, np.float32))
+    assert not any(bool(s.locked[0]) for s in snaps)
+    carry, snaps = feed(ana, carry, sine(440.0, BLOCK * 20))
+    locked_at = next((i for i, s in enumerate(snaps) if bool(s.locked[0])), None)
+    assert locked_at is not None and locked_at <= 10
+
+
+def test_aperiodic_holdover_is_bounded():
+    # reference processor.rs:1155-1177
+    ana = OscilloscopeAnalyzer(stable_config())
+    carry = ana.init(1)
+    carry, snaps = feed(ana, carry, sine(440.0, BLOCK * 20))
+    assert bool(snaps[-1].locked[0])
+    nz = noise(BLOCK * 20)
+    carry, snaps = feed(ana, carry, nz[:BLOCK])
+    assert bool(snaps[-1].locked[0]), "brief aperiodic input should hold lock"
+    carry, snaps = feed(ana, carry, nz[BLOCK:])
+    released = next((i for i, s in enumerate(snaps) if not bool(s.locked[0])), None)
+    assert released is not None and released <= 8
+
+
+@pytest.mark.parametrize(
+    "name,wave",
+    [
+        ("sine", lambda c: np.sin(TAU * c)),
+        (
+            "biased_am",
+            lambda c: (0.6 + 0.4 * np.sin(TAU * c / 37.0)) * np.sin(TAU * c) + 0.25,
+        ),
+        ("saw", lambda c: 2.0 * (c % 1.0) - 1.0),
+        ("square", lambda c: 1.0 if (c % 1.0) < 0.5 else -1.0),
+    ],
+)
+def test_stable_trigger_limits_phase_jitter(name, wave):
+    # reference processor.rs:998-1019: jitter < 3 samples @440 Hz
+    ana = OscilloscopeAnalyzer(stable_config())
+    carry = ana.init(1)
+    signal = periodic(440.0, BLOCK * 60, wave)
+    period = RATE / 440.0
+    first = None
+    jitter = 0.0
+    for i in range(60):
+        blk = signal[i * BLOCK : (i + 1) * BLOCK]
+        stereo = np.stack([blk, blk], axis=-1)[None]
+        carry, snap = ana.step(carry, stereo)
+        if 20 <= i < 60 and bool(snap.locked[0]):
+            # absolute capture position = samples consumed so far - hist + start
+            consumed = (i + 1) * BLOCK
+            pos = (
+                consumed
+                - ana.history_frames
+                + float(snap.start[0])
+                + float(snap.frac[0])
+            )
+            if first is None:
+                first = pos
+            delta = (pos - first + period * 0.5) % period - period * 0.5
+            jitter = max(jitter, abs(delta))
+    assert first is not None, "trigger never locked"
+    assert jitter < 3.0, f"{name} jitter was {jitter:.3f} samples"
+
+
+def test_zero_crossing_edges_near_zero():
+    # reference processor.rs:1113-1138
+    cfg = OscilloscopeConfig(
+        sample_rate=RATE,
+        segment_duration=0.01,
+        trigger_mode=TriggerMode.ZERO_CROSSING,
+        channel_1=Channel.LEFT,
+        channel_2=Channel.RIGHT,
+        block_frames=4800,
+    )
+    ana = OscilloscopeAnalyzer(cfg)
+    carry = ana.init(1)
+    mono = sine(440.0, 4800)
+    stereo = np.stack([mono, mono], axis=-1)[None]
+    carry, snap = ana.step(carry, stereo)
+    assert bool(snap.trace_valid[0, 0]) and bool(snap.trace_valid[0, 1])
+    samples = np.asarray(snap.samples)[0]
+    assert 0.0 < samples[0, 0] < 0.15, "left edge should sit just after a rising zero"
+    assert abs(samples[0, -1]) < 0.15, "right edge should end near a zero"
+
+
+def test_linked_trigger_preserves_inverted_stereo_phase():
+    # reference processor.rs:1180-1193
+    cfg = stable_config(
+        trigger_source=Channel.LEFT, channel_1=Channel.LEFT, channel_2=Channel.RIGHT
+    )
+    ana = OscilloscopeAnalyzer(cfg)
+    carry = ana.init(1)
+    mono = sine(440.0, BLOCK * 20)
+    snap = None
+    for i in range(20):
+        blk = mono[i * BLOCK : (i + 1) * BLOCK]
+        stereo = np.stack([blk, -blk], axis=-1)[None]
+        carry, snap = ana.step(carry, stereo)
+    assert bool(snap.locked[0])
+    det = detected_rate(snap)
+    assert det is not None and abs(det - 440.0) < 20.0
+    a, b = np.asarray(snap.samples)[0]
+    corr = float(np.dot(a, b) / np.sqrt(np.dot(a, a) * np.dot(b, b)))
+    assert corr < -0.9, f"linked trigger should preserve inverted phase, got {corr}"
+
+
+def test_reset_clears_lock():
+    ana = OscilloscopeAnalyzer(stable_config())
+    carry = ana.init(1)
+    carry, snaps = feed(ana, carry, sine(440.0, BLOCK * 20))
+    assert bool(snaps[-1].locked[0])
+    blk = np.zeros((1, BLOCK, 2), np.float32)
+    carry, snap = ana.step(carry, blk, reset_mask=np.array([True]))
+    assert not bool(snap.locked[0])
+    # post-reset history is cleared: the fallback capture sees pure silence
+    assert np.all(np.asarray(snap.samples)[0] == 0.0)
