@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from openmeters_tpu.ops.fft import fft_mxu, ifft_mxu, rfft_mxu
 from openmeters_tpu.ops.framing import FrameBuffer
 from openmeters_tpu.utils.level import DB_FLOOR, power_to_db
 from openmeters_tpu.utils.windows import (
@@ -207,7 +208,7 @@ class SpectrogramAnalyzer:
 
         mean = jnp.mean(frames, axis=-1, keepdims=True)
         x = (frames - mean) * w
-        spec = jnp.fft.rfft(x, n=self.padded_fft, axis=-1)
+        spec = rfft_mxu(x, self.padded_fft)
         power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * norm
         db = power_to_db(power, DB_FLOOR)
         return ClassicColumns(codes=pack_classic_db(db), valid=valid)
@@ -230,19 +231,21 @@ class SpectrogramAnalyzer:
         # Analytic signal: zero DC and strictly-negative-frequency bins of the
         # raw (NOT windowed) frame; positive bins are *not* doubled — the 4x
         # one-sided bin normalization accounts for it (processor.rs:546-557).
-        spec = jnp.fft.fft(frames.astype(jnp.complex64), axis=-1)
+        sr, si = fft_mxu(frames, None, h)
         k = np.arange(h)
         keep = ((k >= 1) & (k <= h // 2)).astype(np.float32)
-        analytic = jnp.fft.ifft(spec * keep, axis=-1)[..., center : center + n]
+        ar, ai = ifft_mxu(sr * keep, si * keep, h)
+        ar = ar[..., center : center + n]
+        ai = ai[..., center : center + n]
 
         def windowed_fft(win):
-            return jnp.fft.fft(analytic * win, n=pfft, axis=-1)[..., :bins]
+            fr, fi = fft_mxu(ar * win, ai * win, pfft)
+            return fr[..., :bins], fi[..., :bins]
 
-        base = windowed_fft(w)
-        deriv = windowed_fft(dw)
-        tweight = windowed_fft(tw)
+        br, bi = windowed_fft(w)
+        dr, di = windowed_fft(dw)
+        tr, ti = windowed_fft(tw)
 
-        br, bi = jnp.real(base), jnp.imag(base)
         pow_raw = br * br + bi * bi
         scaled_power = pow_raw * norm
         inv_pow = 1.0 / jnp.maximum(pow_raw, 1e-38)
@@ -253,12 +256,9 @@ class SpectrogramAnalyzer:
         inv_hop = 1.0 / cfg.hop_size
         latency_hops = center * inv_hop
 
-        d_omega = -(jnp.imag(deriv) * br - jnp.real(deriv) * bi) * inv_pow
+        d_omega = -(di * br - dr * bi) * inv_pow
         freq_hz = np.arange(bins, dtype=np.float32) * bin_hz + d_omega * inv_2pi
-        time_offset = (
-            (jnp.real(tweight) * br + jnp.imag(tweight) * bi) * inv_pow * inv_hop
-            - latency_hops
-        )
+        time_offset = (tr * br + ti * bi) * inv_pow * inv_hop - latency_hops
 
         point_valid = (
             (scaled_power >= ANALYSIS_FLOOR_POWER)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from openmeters_tpu.ops.fft import rfft_mxu
 from openmeters_tpu.ops.framing import FrameBuffer
 from openmeters_tpu.utils.channels import Channel, projection_vector
 from openmeters_tpu.utils.level import DB_FLOOR, LN_TO_DB, db_to_power_host
@@ -166,7 +167,7 @@ class SpectrumAnalyzer:
         w = window_coefficients(cfg.window, cfg.fft_size)
         norm = fft_bin_normalization(w, cfg.fft_size)
         mean = jnp.mean(frames, axis=-1, keepdims=True)
-        spec = jnp.fft.rfft((frames - mean) * w, axis=-1)
+        spec = rfft_mxu((frames - mean) * w, cfg.fft_size)
         power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * norm  # [S,2,cap,bins]
 
         smoothed = carry["smoothed"]
