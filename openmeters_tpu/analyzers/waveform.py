@@ -163,12 +163,13 @@ class WaveformAnalyzer:
             cur_has = jnp.where(reset_mask[:, None], False, cur_has)
             last_ok = jnp.where(reset_mask[:, None], False, last_ok)
 
-        # -- exact integer column cadence --------------------------------------
-        n = np.arange(b, dtype=np.int64)
-        r64 = phase_r.astype(jnp.int64)[:, None]
-        col = ((r64 + n[None, :] * p) // q).astype(jnp.int32)  # [S, B]
-        e_tot = ((r64[:, 0] + b * p) // q).astype(jnp.int32)  # [S] emissions
-        new_phase_r = ((r64[:, 0] + b * p) % q).astype(jnp.int32)
+        # -- exact integer column cadence (int32 is safe: r < q <= 2e8 and
+        # B*p <= 1.1e9 for B<=4096, scroll<=1000, rate<=768k) -------------------
+        n = np.arange(b, dtype=np.int32)
+        r64 = phase_r.astype(jnp.int32)[:, None]
+        col = (r64 + n[None, :] * p) // q  # [S, B]
+        e_tot = (r64[:, 0] + b * p) // q  # [S] emissions
+        new_phase_r = (r64[:, 0] + b * p) % q
 
         ks = np.arange(cap, dtype=np.int32)
         is_col = col[:, :, None] == ks[None, None, :]  # [S, B, cap]
@@ -227,13 +228,11 @@ class WaveformAnalyzer:
 
         # continuity value: final sample of the last emitted column, if finite
         # and no non-finite sample arrived after it (processor.rs:270-289)
-        bnd = ((e_tot.astype(jnp.int64) * q - r64[:, 0] + p - 1) // p - 1).astype(
-            jnp.int32
-        )
+        bnd = (e_tot * q - r64[:, 0] + p - 1) // p - 1
         bnd = jnp.clip(bnd, 0, b - 1)  # [S]
         bval = take_slot(derived, bnd)  # [S, 4]
         bfin = take_slot(fin, bnd)
-        after = n[None, :] > bnd[:, None].astype(jnp.int64)  # [S, B]
+        after = n[None, :] > bnd[:, None]  # [S, B]
         bad_after = jnp.any(after[:, :, None] & ~fin, axis=1)
         bad_any = jnp.any(~fin, axis=1)
         new_last_val = jnp.where(emitted, bval, last_val)
@@ -277,8 +276,8 @@ class WaveformAnalyzer:
 
             # positions: last sample of column k = ceil(((k+1) q - r) / p) - 1;
             # final slot doubles as the preview position (block end).
-            kq = (ks[None, :].astype(jnp.int64) + 1) * q
-            pos = ((kq - r64 + p - 1) // p - 1).astype(jnp.int32)
+            kq = (ks[None, :] + 1) * q
+            pos = (kq - r64 + p - 1) // p - 1
             pos = jnp.clip(pos, 0, b - 1)  # [S, cap]
             pos_all = jnp.concatenate(
                 [pos, jnp.full((s, 1), b - 1, jnp.int32)], axis=1
