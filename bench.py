@@ -67,9 +67,9 @@ def measure(engine, n_streams: int, iters: int = 20) -> dict:
     reset = np.zeros((n_streams,), bool)
 
     @jax.jit
-    def run_k(carry):
+    def run_k(carry, blocks_in):
         def body(c, i):
-            c, snaps = engine.step(c, blocks_dev[i], meta, reset)
+            c, snaps = engine.step(c, blocks_in[i], meta, reset)
             probe = snaps["loudness"].momentary_lufs[0]
             return c, probe
         idx = jnp.arange(iters, dtype=jnp.int32) % n_blocks
@@ -77,11 +77,11 @@ def measure(engine, n_streams: int, iters: int = 20) -> dict:
 
     blocks_dev = jax.device_put(blocks)
     carry = engine.init(n_streams)
-    c2, probes = run_k(carry)  # compile + warmup
+    c2, probes = run_k(carry, blocks_dev)  # compile + warmup
     float(np.asarray(probes)[-1])
 
     t0 = time.perf_counter()
-    c2, probes = run_k(carry)
+    c2, probes = run_k(carry, blocks_dev)
     float(np.asarray(probes)[-1])
     dt = (time.perf_counter() - t0) / iters
 
