@@ -1,0 +1,141 @@
+"""Host ingest transport tests (reference transport.rs:706-823 fake-backend
+pattern: drive both ends on one thread with injected timestamps)."""
+
+import numpy as np
+import pytest
+
+from openmeters_tpu.ingest import Transport
+
+RATE = 48_000.0
+NS = 1_000_000_000
+
+
+def ns_of(frames):
+    return int(frames * NS / RATE)
+
+
+@pytest.fixture
+def tp():
+    return Transport(n_streams=2, channels=2, block_frames=256, sample_rate=RATE)
+
+
+def frames_of(n, value=0.5):
+    return np.full((n, 2), value, np.float32)
+
+
+def test_pcm_roundtrip(tp):
+    x = np.arange(512 * 2, dtype=np.float32).reshape(512, 2) / 1024.0
+    assert tp.push_pcm(0, x, 0) == 0
+    batch, reset, underrun, live = tp.assemble()
+    assert live == 1
+    np.testing.assert_allclose(batch[0], x[:256])
+    # first span discovers generation 1 -> initial format reset
+    # (registry.rs:400-406: the manager resets on its first generation watch)
+    assert reset[0] and not underrun[0]
+    assert underrun[1]  # stream 1 got nothing
+    batch, reset, *_ = tp.assemble()
+    np.testing.assert_allclose(batch[0], x[256:])
+    assert not reset[0]
+
+
+def test_gap_becomes_silence(tp):
+    tp.push_pcm(0, frames_of(256), 0)
+    # skip 256 frames of time, then more PCM
+    tp.push_pcm(0, frames_of(256, 0.25), ns_of(512))
+    b1, *_ = tp.assemble()
+    assert np.all(b1[0] == 0.5)
+    b2, reset, underrun, _ = tp.assemble()
+    assert np.all(b2[0] == 0.0) and not reset[0] and not underrun[0]
+    b3, *_ = tp.assemble()
+    assert np.all(b3[0] == 0.25)
+
+
+def test_timestamp_regression_faults(tp):
+    tp.push_pcm(0, frames_of(256), 0)
+    tp.push_pcm(0, frames_of(256), ns_of(64))  # overlaps previous packet
+    assert tp.fault_count(0) == 1
+    batch, reset, _, _ = tp.assemble()
+    assert reset[0]
+    assert np.all(batch[0] == 0.0)  # backlog dropped, no replay
+
+
+def test_overflow_faults_and_resets(tp):
+    # ring holds ~4/3 s; push 2 s without draining
+    for i in range(int(2.0 * RATE) // 4096):
+        tp.push_pcm(0, frames_of(4096), ns_of(i * 4096))
+    assert tp.fault_count(0) >= 1
+    _, reset, _, _ = tp.assemble()
+    assert reset[0]
+
+
+def test_nan_sanitized(tp):
+    x = frames_of(256)
+    x[10, 0] = np.nan
+    x[20, 1] = np.inf
+    tp.push_pcm(0, x, 0)
+    batch, *_ = tp.assemble()
+    assert np.isfinite(batch[0]).all()
+    assert batch[0][10, 0] == 0.0 and batch[0][20, 1] == 0.0
+
+
+def test_long_silence_resets(tp):
+    tp.push_pcm(0, frames_of(256), 0)
+    tp.push_silence(0, int(3 * RATE), ns_of(256))  # > 2 s silence
+    tp.assemble()
+    _, reset, _, _ = tp.assemble()
+    assert reset[0]
+
+
+def test_generation_change_resets(tp):
+    tp.push_pcm(0, frames_of(256), 0)
+    batch, reset, _, _ = tp.assemble()
+    assert reset[0]  # first span carries generation 1 vs seen 0 -> reset
+    tp.push_pcm(0, frames_of(256), ns_of(256))
+    _, reset, _, _ = tp.assemble()
+    assert not reset[0]
+    tp.set_generation(0, 2)
+    tp.push_pcm(0, frames_of(256), ns_of(512))
+    _, reset, _, _ = tp.assemble()
+    assert reset[0]
+
+
+def test_backlog_cap_resets_instead_of_replaying(tp):
+    # 1.2 s of audio buffered (> 1 s backlog cap, < ring capacity)
+    n = int(1.2 * RATE)
+    for i in range(n // 4096):
+        tp.push_pcm(0, frames_of(4096), ns_of(i * 4096))
+    _, reset, _, _ = tp.assemble()
+    assert reset[0]
+
+
+def test_streams_are_independent(tp):
+    tp.push_pcm(0, frames_of(256, 0.5), 0)
+    tp.push_pcm(1, frames_of(256, -0.5), 0)
+    batch, *_ = tp.assemble()
+    assert np.all(batch[0] == 0.5) and np.all(batch[1] == -0.5)
+
+
+def test_feeds_engine_end_to_end():
+    """Ingest -> engine: one full hop through the real pipeline."""
+    from openmeters_tpu.engine import EngineConfig, MeterEngine, StreamMeta
+    from openmeters_tpu.analyzers.spectrogram import SpectrogramConfig
+
+    tp = Transport(n_streams=2, channels=2, block_frames=256)
+    eng = MeterEngine(
+        EngineConfig(
+            channels=2,
+            spectrogram=SpectrogramConfig(fft_size=256, hop_size=64),
+            spectrum=None,
+        )
+    )
+    carry = eng.init(2)
+    meta = StreamMeta.default(2, channels=2, pad_channels=2)
+    t = np.arange(1024) / RATE
+    tone = (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    tp.push_pcm(0, np.stack([tone, tone], -1)[:1024], 0)
+    snaps = None
+    for _ in range(4):
+        batch, reset, underrun, _ = tp.assemble()
+        carry, snaps = eng.step(carry, batch, meta, reset_mask=reset)
+    assert float(snaps["loudness"].momentary_lufs[0]) > -30
+    assert float(snaps["loudness"].momentary_lufs[1]) < -90
