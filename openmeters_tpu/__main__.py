@@ -1,0 +1,130 @@
+"""CLI: headless analysis and diagnostics.
+
+The reference has no CLI (config lives in the GUI + JSON settings); the
+headless rebuild exposes one:
+
+    python -m openmeters_tpu analyze tone.wav [--settings settings.json]
+    python -m openmeters_tpu settings --init settings.json
+    python -m openmeters_tpu selftest
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def cmd_analyze(args) -> int:
+    from openmeters_tpu.api import analyze_wav
+    from openmeters_tpu.engine import EngineConfig
+    from openmeters_tpu.persistence import SettingsHandle
+
+    cfg = (
+        SettingsHandle.load_or_default(args.settings)
+        if args.settings
+        else EngineConfig()
+    )
+    snaps = analyze_wav(args.wav, cfg)
+    if not snaps:
+        print("no complete hops in input", file=sys.stderr)
+        return 1
+    last = snaps[-1]
+    out = {}
+    if "loudness" in last:
+        l = last["loudness"]
+        out["loudness"] = {
+            "short_term_lufs": float(l.short_term_lufs[0]),
+            "momentary_lufs": float(l.momentary_lufs[0]),
+            "true_peak_db": float(np.max(np.asarray(l.true_peak_db[0]))),
+        }
+    if "spectrum" in last:
+        sp = last["spectrum"]
+        raw = np.asarray(sp.raw_db)[0, 0]
+        out["spectrum"] = {"peak_bin_db": float(np.max(raw))}
+    if "spectrogram" in last:
+        sg = last["spectrogram"]
+        if hasattr(sg, "codes"):
+            from openmeters_tpu.analyzers.spectrogram import unpack_classic_db
+
+            codes = np.asarray(sg.codes)[0]
+            valid = np.asarray(sg.valid)[0]
+            if valid.any():
+                col = codes[np.nonzero(valid)[0][-1]]
+                out["spectrogram"] = {
+                    "peak_db": float(np.max(np.asarray(unpack_classic_db(col))))
+                }
+    if "oscilloscope" in last:
+        osc = last["oscilloscope"]
+        out["oscilloscope"] = {
+            "locked": bool(osc.locked[0]),
+            "period_samples": float(osc.period[0]),
+        }
+    if "stereometer" in last:
+        st = last["stereometer"]
+        out["stereometer"] = {
+            "correlation": float(st.correlations[0, 0]),
+        }
+    out["hops"] = len(snaps)
+    print(json.dumps(out, indent=None if args.compact else 2))
+    return 0
+
+
+def cmd_settings(args) -> int:
+    from openmeters_tpu.engine import EngineConfig
+    from openmeters_tpu.persistence import encode_settings, write_json_atomic
+
+    write_json_atomic(args.init, encode_settings(EngineConfig()))
+    print(f"wrote default settings to {args.init}")
+    return 0
+
+
+def cmd_selftest(args) -> int:
+    """Tiny end-to-end smoke: tone in, sane meters out."""
+    from openmeters_tpu.api import analyze
+    from openmeters_tpu.analyzers.spectrogram import SpectrogramConfig
+    from openmeters_tpu.engine import EngineConfig
+
+    rate = 48_000.0
+    t = np.arange(int(rate * 0.5)) / rate
+    tone = (0.5 * np.sin(2 * np.pi * 997.0 * t)).astype(np.float32)
+    audio = np.stack([tone, tone], -1)
+    cfg = EngineConfig(
+        spectrogram=SpectrogramConfig(fft_size=1024, hop_size=256, use_reassignment=False),
+        spectrum=None,
+    )
+    snaps = analyze(audio, rate, cfg)
+    lufs = float(snaps[-1]["loudness"].momentary_lufs[0])
+    ok = abs(lufs + 6.0) < 0.5
+    print(f"momentary LUFS of -6 dBFS stereo 997 Hz tone: {lufs:.2f} ({'OK' if ok else 'FAIL'})")
+    return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    from openmeters_tpu.tracing import init_tracing
+
+    init_tracing()
+    p = argparse.ArgumentParser(prog="openmeters_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pa = sub.add_parser("analyze", help="analyze a WAV file")
+    pa.add_argument("wav")
+    pa.add_argument("--settings", help="settings JSON (lossy schema)")
+    pa.add_argument("--compact", action="store_true")
+    pa.set_defaults(fn=cmd_analyze)
+
+    ps = sub.add_parser("settings", help="settings utilities")
+    ps.add_argument("--init", required=True, help="write default settings JSON")
+    ps.set_defaults(fn=cmd_settings)
+
+    pt = sub.add_parser("selftest", help="end-to-end smoke test")
+    pt.set_defaults(fn=cmd_selftest)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

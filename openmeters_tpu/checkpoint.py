@@ -1,0 +1,72 @@
+"""Streaming-state checkpoint/resume.
+
+The reference persists only settings (DSP state rebuilds in seconds of
+audio); SURVEY §5.4 calls out device-state snapshot/restore of the streaming
+carry (filter states, rings, trigger locks) as the worthwhile rebuild
+analogue — it lets a serving deployment migrate streams across processes or
+chips without losing the 3 s loudness window or trigger locks.
+
+Format: one ``.npz`` holding every carry leaf keyed by its pytree path plus a
+config fingerprint; restore validates the fingerprint so a checkpoint can
+never silently load into a mismatched engine config.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import jax
+import numpy as np
+
+
+def _config_fingerprint(engine) -> str:
+    return hashlib.sha256(repr(engine.config).encode()).hexdigest()[:16]
+
+
+def _flatten(carry):
+    leaves, treedef = jax.tree.flatten(carry)
+    paths = [
+        "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(carry)[0]
+    ]
+    return paths, leaves, treedef
+
+
+def save_state(path: str, engine, carry) -> None:
+    paths, leaves, _ = _flatten(carry)
+    arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps({"fingerprint": _config_fingerprint(engine), "paths": paths}).encode(),
+        np.uint8,
+    )
+    np.savez_compressed(path, **arrays)
+
+
+def load_state(path: str, engine):
+    """Returns a carry pytree matching ``engine.init`` structure."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+        if meta["fingerprint"] != _config_fingerprint(engine):
+            raise ValueError(
+                "checkpoint was written by a different engine config "
+                f"({meta['fingerprint']} != {_config_fingerprint(engine)})"
+            )
+        template = engine.init(_infer_streams(z, meta))
+        paths, leaves, treedef = _flatten(template)
+        if paths != meta["paths"]:
+            raise ValueError("checkpoint structure mismatch")
+        loaded = [z[f"leaf_{i}"] for i in range(len(leaves))]
+    for got, want in zip(loaded, leaves):
+        if got.shape != want.shape:
+            raise ValueError(f"leaf shape mismatch: {got.shape} vs {want.shape}")
+    return jax.tree.unflatten(treedef, [np.asarray(v) for v in loaded])
+
+
+def _infer_streams(z, meta) -> int:
+    # loudness blocks or any [S]-leading leaf: use the first 1-D int leaf
+    for i in range(len(meta["paths"])):
+        arr = z[f"leaf_{i}"]
+        if arr.ndim == 1 and arr.dtype in (np.int32, np.bool_):
+            return arr.shape[0]
+    raise ValueError("cannot infer stream count from checkpoint")

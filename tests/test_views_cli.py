@@ -1,0 +1,151 @@
+"""View-state math, checkpoint/resume, and CLI tests."""
+
+import numpy as np
+import pytest
+
+from conftest import sine_wave
+from openmeters_tpu.views import (
+    HEAT_RAMP,
+    GradientPalette,
+    PeakHold,
+    SpectrogramHistory,
+    decimate_minmax_line,
+    persistence_blend,
+    sanitize_stop_spreads,
+    stereometer_scaled_compression,
+)
+
+
+def test_peak_hold_holds_then_decays():
+    # loudness/state.rs: 2 s hold, 60 dB/s decay
+    ph = PeakHold.new((1,), -99.9, now=0.0)
+    ph.update(np.array([-10.0]), 0.0)
+    assert ph.db[0] == -10.0
+    ph.update(np.array([-60.0]), 1.0)  # inside hold window
+    assert ph.db[0] == -10.0
+    ph.update(np.array([-140.0]), 3.0)  # 1 s past hold -> -60 dB/s
+    assert ph.db[0] == pytest.approx(-10.0 - 60.0, abs=1e-4)
+    ph.update(np.array([-60.0]), 10.0)  # decay clamps at the live value
+    assert ph.db[0] == -60.0
+
+
+def test_persistence_blend_clamps():
+    prev = np.zeros(4, np.float32)
+    cur = np.ones(4, np.float32)
+    out = persistence_blend(prev, cur, 2.0)  # clamp at 0.98
+    assert out[0] == pytest.approx(0.02)
+    assert persistence_blend(None, cur, 0.5)[0] == 1.0
+
+
+def test_decimate_minmax_preserves_extremes():
+    x = np.arange(1000, dtype=np.float32)
+    y = np.sin(x * 0.1).astype(np.float32)
+    y[500] = 5.0
+    y[600] = -5.0
+    pts = np.stack([x, y], -1)
+    dec = decimate_minmax_line(pts, 64)
+    assert len(dec) <= 64
+    assert dec[:, 1].max() == 5.0
+    assert dec[:, 1].min() == -5.0
+    assert np.all(np.diff(dec[:, 0]) >= 0)
+
+
+def test_gradient_palette_matches_shader_semantics():
+    pal = GradientPalette.make(
+        [[0, 0, 0, 1], [1, 0, 0, 1], [0, 1, 0, 1]],
+        positions=[0.0, 0.5, 1.0],
+        spreads=[1.0, 2.0, 1.0],
+    )
+    np.testing.assert_allclose(pal.evaluate(0.0), [0, 0, 0, 1])
+    np.testing.assert_allclose(pal.evaluate(1.0), [0, 1, 0, 1])
+    # spread != 1: blend = lin^(sl/sr) = 0.5^(1/2) in the first segment
+    mid = pal.evaluate(0.25)
+    assert mid[0] == pytest.approx(0.5**0.5, abs=1e-5)
+    heat = HEAT_RAMP.evaluate(np.linspace(0, 1, 7))
+    assert heat.shape == (7, 4)
+    assert heat[0, 3] == 0.0 and heat[-1, 3] == 1.0  # transparent -> opaque
+
+
+def test_sanitize_stop_spreads():
+    out = sanitize_stop_spreads([2.0, -1.0, np.nan], 5)
+    np.testing.assert_allclose(out, [2.0, 1.0, 1.0, 1.0, 1.0])
+
+
+def test_stereometer_scaled_compression_matches_formula():
+    x, y = stereometer_scaled_compression(0.5, 0.0)
+    r = 0.5
+    assert x == pytest.approx(min(0.5 * 0.886 * r**-0.7, 1.0), rel=1e-5)
+    assert y == 0.0
+
+
+def test_spectrogram_history_ring_and_resize():
+    h = SpectrogramHistory(bins=4, columns=8)
+    h.push(np.arange(4, dtype=np.uint16)[None])
+    h.push(np.stack([np.full(4, i, np.uint16) for i in (1, 2, 3)]))
+    assert h.filled == 4
+    v = h.view()
+    assert np.all(v[-1] == 3) and np.all(v[0] == [0, 1, 2, 3])
+    h.resize(2)  # keep newest suffix (spectrogram/state.rs remap plan)
+    v = h.view()
+    assert len(v) == 2 and np.all(v[-1] == 3) and np.all(v[0] == 2)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from openmeters_tpu.analyzers.spectrogram import SpectrogramConfig
+    from openmeters_tpu.checkpoint import load_state, save_state
+    from openmeters_tpu.engine import EngineConfig, MeterEngine, StreamMeta
+
+    cfg = EngineConfig(
+        spectrogram=SpectrogramConfig(fft_size=256, hop_size=64, use_reassignment=False),
+        spectrum=None,
+    )
+    eng = MeterEngine(cfg)
+    carry = eng.init(2)
+    meta = StreamMeta.default(2)
+    sig = sine_wave(1000.0, 48_000.0, 256 * 8, 0.5)
+    block = np.zeros((2, 256, 8), np.float32)
+    for i in range(8):
+        block[:, :, 0] = block[:, :, 1] = sig[i * 256 : (i + 1) * 256]
+        carry, snap_a = eng.step(carry, block, meta)
+
+    p = tmp_path / "state.npz"
+    save_state(str(p), eng, carry)
+    restored = load_state(str(p), eng)
+
+    # continue both and compare snapshots exactly
+    carry1, s1 = eng.step(carry, block, meta)
+    carry2, s2 = eng.step(restored, block, meta)
+    np.testing.assert_array_equal(
+        np.asarray(s1["loudness"].short_term_lufs),
+        np.asarray(s2["loudness"].short_term_lufs),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s1["spectrogram"].codes), np.asarray(s2["spectrogram"].codes)
+    )
+
+    # mismatched config refuses to load
+    other = MeterEngine(EngineConfig(spectrogram=None, spectrum=None))
+    with pytest.raises(ValueError):
+        load_state(str(p), other)
+
+
+def test_cli_selftest_and_analyze(tmp_path, capsys):
+    from openmeters_tpu.__main__ import main
+    from openmeters_tpu.io.wav import write_wav
+
+    assert main(["selftest"]) == 0
+
+    rate = 48_000.0
+    tone = sine_wave(997.0, rate, int(rate * 0.3), 0.5)
+    wav = tmp_path / "t.wav"
+    write_wav(str(wav), np.stack([tone, tone], -1), rate)
+    assert main(["analyze", str(wav), "--compact"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    import json
+
+    doc = json.loads(out)
+    assert doc["loudness"]["momentary_lufs"] == pytest.approx(-6.0, abs=0.3)
+
+    settings = tmp_path / "s.json"
+    assert main(["settings", "--init", str(settings)]) == 0
+    assert settings.exists()
