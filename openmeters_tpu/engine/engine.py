@@ -77,6 +77,18 @@ class EngineConfig:
     stereometer: Any = None
     waveform: Any = None
 
+    @staticmethod
+    def at_rate(sample_rate: float, **kw) -> "EngineConfig":
+        """Config bucketed for a sample rate: the DSP batch scales like the
+        reference's DspBatcher (256 frames @48k, meter.rs:20-25).  Streams of
+        different rates run in separate engine instances (the reference keys
+        its FFT plans by rate the same way)."""
+        return EngineConfig(
+            sample_rate=sample_rate,
+            block_frames=scaled_block_frames(sample_rate),
+            **kw,
+        )
+
     def resolve(self) -> "EngineConfig":
         """Propagate engine-level rate/block into analyzer configs."""
         kw = dict(sample_rate=self.sample_rate, block_frames=self.block_frames)
@@ -172,6 +184,29 @@ class MeterEngine:
                     carry[name], stereo, reset_mask=reset_mask
                 )
         return new_carry, snaps
+
+    # -- reconfiguration -----------------------------------------------------
+
+    def migrate_carry(self, old_engine: "MeterEngine", carry: dict, n_streams: int) -> dict:
+        """Carry migration across a config change.
+
+        The reference's ``update_config`` rebuilds only what changed (FFT
+        plans on size/window change, level buffers on floor change,
+        everything on rate change).  Batched equivalent: analyzers whose
+        configs are unchanged keep their carries; changed ones re-init —
+        which matches the reference's reset granularity at the analyzer
+        level (sub-analyzer partial retention like the spectrum's pending
+        PCM across floor changes is subsumed by a fresh warmup).
+        """
+        old = old_engine.analyzers
+        fresh = self.init(n_streams)
+        out = {}
+        for name, analyzer in self.analyzers.items():
+            if name in old and name in carry and old[name].config == analyzer.config:
+                out[name] = carry[name]
+            else:
+                out[name] = fresh[name]
+        return out
 
     # -- sharding specs -----------------------------------------------------
 
