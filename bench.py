@@ -70,7 +70,11 @@ def measure(engine, n_streams: int, iters: int = 20) -> dict:
     def run_k(carry, blocks_in):
         def body(c, i):
             c, snaps = engine.step(c, blocks_in[i], meta, reset)
-            probe = snaps["loudness"].momentary_lufs[0]
+            # consume EVERY snapshot leaf so XLA cannot dead-code-eliminate
+            # any analyzer's output computation
+            probe = sum(
+                jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(snaps)
+            )
             return c, probe
         idx = jnp.arange(iters, dtype=jnp.int32) % n_blocks
         return jax.lax.scan(body, carry, idx)

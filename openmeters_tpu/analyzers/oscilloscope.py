@@ -84,6 +84,9 @@ class OscilloscopeConfig:
     channel_1: Channel = Channel.MID
     channel_2: Channel = Channel.NONE
     block_frames: int = 256
+    # Trigger cadence in hops: 1 = every ingest hop (187 Hz @48k/256 — above
+    # the reference's effective ~60 Hz UI rate); 3 ~= display rate, 3x cheaper.
+    trigger_every: int = 1
 
 
 class OscilloscopeSnapshot(NamedTuple):
@@ -153,6 +156,18 @@ class OscilloscopeAnalyzer:
         return max(self.probe_frames, self.base_frames, trigger)
 
     @property
+    def window_cap(self) -> int:
+        """Static capture-window capacity: max span over the trigger mode."""
+        if self.config.trigger_mode is TriggerMode.ZERO_CROSSING:
+            cap = self.base_frames + 2
+        else:
+            cap = max(
+                int(math.ceil(self.max_period * max(self.config.num_cycles, 1))) + 2,
+                self.base_frames + 2,
+            )
+        return min(cap, self.history_frames)
+
+    @property
     def nsdf_fft(self) -> int:
         return _next_pow2(self.probe_frames + self.max_period)
 
@@ -191,9 +206,10 @@ class OscilloscopeAnalyzer:
     def init(self, n_streams: int) -> dict:
         s = n_streams
         k = self.kernel_cap
-        return {
+        carry = {
             "hist": jnp.zeros((s, 3, self.history_frames), jnp.float32),
             "fresh": jnp.zeros((s,), jnp.int32),
+            "tick": jnp.zeros((), jnp.int32),
             # stable-trigger state (single linked/source trigger)
             "period": jnp.zeros((s,), jnp.float32),
             "has_period": jnp.zeros((s,), bool),
@@ -203,13 +219,23 @@ class OscilloscopeAnalyzer:
             "ref_period": jnp.zeros((s,), jnp.float32),
             "ref_len": jnp.zeros((s,), jnp.int32),
         }
+        if max(int(self.config.trigger_every), 1) > 1:
+            carry["snap"] = {
+                "samples": jnp.zeros((s, TRACE_COUNT, self.window_cap), jnp.float32),
+                "trace_valid": jnp.zeros((s, TRACE_COUNT), bool),
+                "span": jnp.zeros((s,), jnp.float32),
+                "start": jnp.zeros((s,), jnp.int32),
+                "frac": jnp.zeros((s,), jnp.float32),
+            }
+        return carry
 
     def pspecs(self, axis: str):
         from jax.sharding import PartitionSpec as P
 
-        return {
+        specs = {
             "hist": P(axis, None, None),
             "fresh": P(axis),
+            "tick": P(),
             "period": P(axis),
             "has_period": P(axis),
             "missed": P(axis),
@@ -218,6 +244,15 @@ class OscilloscopeAnalyzer:
             "ref_period": P(axis),
             "ref_len": P(axis),
         }
+        if max(int(self.config.trigger_every), 1) > 1:
+            specs["snap"] = {
+                "samples": P(axis, None, None),
+                "trace_valid": P(axis, None),
+                "span": P(axis),
+                "start": P(axis),
+                "frac": P(axis),
+            }
+        return specs
 
     # -- NSDF period estimation (processor.rs:93-181) -------------------------
 
@@ -231,8 +266,11 @@ class OscilloscopeAnalyzer:
 
         max_lag = min(self.max_period, p // 2)
         nfft = self.nsdf_fft
-        spec = jnp.fft.rfft(c, n=nfft, axis=-1)
-        ac = jnp.fft.irfft(spec * jnp.conj(spec), n=nfft, axis=-1)[..., : max_lag + 1]
+        from openmeters_tpu.ops.fft import irfft_mxu, rfft_mxu
+
+        spec = rfft_mxu(c, nfft)
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        ac = irfft_mxu(power, jnp.zeros_like(power), nfft)[..., : max_lag + 1]
 
         e = jnp.cumsum(c * c, axis=-1)
         e = jnp.concatenate([jnp.zeros_like(e[..., :1]), e], axis=-1)  # [S, P+1]
@@ -376,14 +414,21 @@ class OscilloscopeAnalyzer:
         )
         work = jnp.where(wvalid, work - mean_state[:, None], 0.0)
 
-        # retune reference (processor.rs:486-498)
+        # retune reference (processor.rs:486-498).  The resample gather is
+        # expensive and >1-semitone jumps are rare, so it runs under lax.cond
+        # — free in steady state, exact when triggered.
         ref_empty = ref_len == 0
         semis = jnp.abs(jnp.log2(jnp.maximum(p, 1e-6) / jnp.maximum(ref_period, 1e-6))) * 12.0
         need_retune = ~ref_empty & ((ref_len != klen) | (semis >= BUFFER_RETUNE_SEMITONES))
-        retuned = _retune(reference, ref_len, ref_period, p, klen, kcap)
-        reference = jnp.where(
-            can_locate[:, None],
-            jnp.where(need_retune[:, None], retuned, reference),
+        apply_retune = can_locate & need_retune
+        reference = jax.lax.cond(
+            jnp.any(apply_retune),
+            lambda ref: jnp.where(
+                apply_retune[:, None],
+                _retune(ref, ref_len, ref_period, p, klen, kcap),
+                ref,
+            ),
+            lambda ref: ref,
             reference,
         )
         ref_period = jnp.where(can_locate, jnp.where(ref_empty, p, jnp.where(need_retune, p, ref_period)), ref_period)
@@ -440,13 +485,21 @@ class OscilloscopeAnalyzer:
         match = _norm_corr_single(reference, cand, kmask)
         do_reset = can_locate & confident & use_reference & (match < RESET_BELOW_MATCH)
 
-        # re-search without reference where reset fired
-        template2 = template_of(jnp.zeros_like(use_reference))
-        best2, frac2 = search_best(template2)
-        best = jnp.where(do_reset, best2, best)
-        frac = jnp.where(do_reset, frac2, frac)
+        # re-search without reference where reset fired — a rare event, so the
+        # second correlation pass runs under lax.cond (free in steady state)
+        def redo(args):
+            best0, frac0, cand0 = args
+            template2 = template_of(jnp.zeros_like(use_reference))
+            best2, frac2 = search_best(template2)
+            best1 = jnp.where(do_reset, best2, best0)
+            frac1 = jnp.where(do_reset, frac2, frac0)
+            cand1 = jnp.where(do_reset[:, None], candidate_at(best1), cand0)
+            return best1, frac1, cand1
+
+        best, frac, cand = jax.lax.cond(
+            jnp.any(do_reset), redo, lambda args: args, (best, frac, cand)
+        )
         reference = jnp.where(do_reset[:, None], 0.0, reference)
-        cand = jnp.where(do_reset[:, None], candidate_at(best), cand)
 
         # reference update (processor.rs:500-507)
         upd = can_locate & confident
@@ -559,43 +612,62 @@ class OscilloscopeAnalyzer:
         fresh_ok = fresh >= jnp.int32(min(self.base_frames, hist_len))
         trig_trace = hist[:, self.trigger_slot if self.trigger_slot < 2 else 2]
 
-        if cfg.trigger_mode is TriggerMode.ZERO_CROSSING:
-            capture = self._zero_crossing_capture(trig_trace, fresh_ok)
-            new_state = state
-            locked = jnp.zeros((s,), bool)
-            period = jnp.zeros((s,), jnp.float32)
+        def run_trigger(state):
+            if cfg.trigger_mode is TriggerMode.ZERO_CROSSING:
+                capture = self._zero_crossing_capture(trig_trace, fresh_ok)
+                new_state = state
+            else:
+                new_state, capture = self._stable_capture(state, trig_trace, fresh_ok)
+            # capture windows: raw contiguous samples per trace (the
+            # reference's linear downsample to <=4096 points happens
+            # render-side, views.resample_trace — raw samples carry strictly
+            # more information)
+            samples = []
+            valids = []
+            for t in range(TRACE_COUNT):
+                if not self.active_traces[t]:
+                    samples.append(jnp.zeros((s, self.window_cap), jnp.float32))
+                    valids.append(jnp.zeros((s,), bool))
+                    continue
+                samples.append(
+                    _dyn_slice_rows(hist[:, t], capture["start"], self.window_cap)
+                )
+                valids.append(capture["valid"])
+            snap = {
+                "samples": jnp.stack(samples, axis=1),
+                "trace_valid": jnp.stack(valids, axis=1),
+                "span": capture["span"],
+                "start": capture["start"],
+                "frac": capture["frac"],
+            }
+            return new_state, snap
+
+        tick = carry["tick"]
+        every = max(int(cfg.trigger_every), 1)
+        if every == 1:
+            new_state, snap = run_trigger(state)
         else:
-            stable_ok = fresh >= jnp.int32(min(self.history_frames, 2**30))
-            # reference gates capture on trace.len() >= base_frames; rings are
-            # pre-zeroed so gate on enough fresh samples for the probe window
-            gate = fresh >= jnp.int32(min(self.base_frames, hist_len))
-            del stable_ok
-            new_state, capture = self._stable_capture(state, trig_trace, gate)
-            locked = new_state["has_period"]
-            period = new_state["period"]
-
-        # downsample both traces with the shared capture (processor.rs:788-803)
-        samples = []
-        valids = []
-        for t in range(TRACE_COUNT):
-            if not self.active_traces[t]:
-                samples.append(jnp.zeros((s, OUTPUT_POINTS), jnp.float32))
-                valids.append(jnp.zeros((s,), bool))
-                continue
-            tr = hist[:, t]
-            out = _resample_linear(
-                tr, capture["start"], capture["frac"], capture["span"], OUTPUT_POINTS
+            # trigger cadence decoupled from the ingest hop (the reference
+            # evaluates per UI frame ~60 Hz, below the 187 Hz hop rate)
+            new_state, snap = jax.lax.cond(
+                tick % every == 0,
+                run_trigger,
+                lambda st: (st, carry["snap"]),  # hold the previous capture
+                state,
             )
-            samples.append(out)
-            valids.append(capture["valid"])
 
-        new_carry = {"hist": hist, "fresh": fresh, **new_state}
+        locked = new_state["has_period"] if cfg.trigger_mode is TriggerMode.STABLE else jnp.zeros((s,), bool)
+        period = new_state["period"] if cfg.trigger_mode is TriggerMode.STABLE else jnp.zeros((s,), jnp.float32)
+
+        new_carry = {"hist": hist, "fresh": fresh, "tick": tick + 1, **new_state}
+        if every > 1:
+            new_carry["snap"] = snap
         return new_carry, OscilloscopeSnapshot(
-            samples=jnp.stack(samples, axis=1),
-            trace_valid=jnp.stack(valids, axis=1),
-            span=capture["span"],
-            start=capture["start"],
-            frac=capture["frac"],
+            samples=snap["samples"],
+            trace_valid=snap["trace_valid"],
+            span=snap["span"],
+            start=snap["start"],
+            frac=snap["frac"],
             period=jnp.where(locked, period, 0.0),
             locked=locked,
         )
@@ -665,32 +737,43 @@ def _masked_norm_corr(work, wvalid, template, kmask, klen, search, wcap, scap, n
     work: [S, wcap] end-aligned (valid region = last search+klen entries);
     template: [S, kcap].  Offset o starts at work index (wcap - search - klen
     + o).  Returns [S, scap+1] scores.
+
+    TPU notes: the sliding dot runs as an MXU FFT cross-correlation; all
+    per-offset reads are *contiguous* per-stream dynamic slices (TPU gathers
+    with arbitrary indices are ~30x slower than contiguous dynamic slices).
     """
-    s = work.shape[0]
-    kcap = template.shape[-1]
+    from openmeters_tpu.ops.fft import irfft_mxu, rfft_mxu
+
     t = jnp.where(kmask, template, 0.0)
     w = jnp.where(wvalid, work, 0.0)
 
-    # sliding dot via FFT cross-correlation
-    wf = jnp.fft.rfft(w, n=nfft, axis=-1)
-    tf = jnp.fft.rfft(t, n=nfft, axis=-1)
-    corr = jnp.fft.irfft(wf * jnp.conj(tf), n=nfft, axis=-1)  # [S, nfft]
-    # dot at work-start index j lives at corr[j]
-    base = wcap - search - klen
-    offsets = np.arange(scap + 1)
-    take_many = jax.vmap(lambda a, i: a[i])
-    jidx = jnp.clip(base[:, None] + offsets[None, :], 0, nfft - 1)
-    dots = take_many(corr, jidx)  # [S, scap+1]
+    # sliding dot via FFT cross-correlation (MXU)
+    wf = rfft_mxu(w, nfft)
+    tf = rfft_mxu(t, nfft)
+    prod = wf * jnp.conj(tf)
+    corr = irfft_mxu(jnp.real(prod), jnp.imag(prod), nfft)  # [S, nfft]
+    # dot at work-start index j lives at corr[j]; offsets are contiguous
+    base = wcap - search - klen  # [S]
+    dots = _dyn_slice_rows(corr, base, scap + 1)
 
-    # sliding sums of work and work^2 over klen-windows via cumsum
-    cw = jnp.cumsum(w, axis=-1)
-    cw = jnp.concatenate([jnp.zeros_like(cw[..., :1]), cw], axis=-1)
-    cw2 = jnp.cumsum(w * w, axis=-1)
-    cw2 = jnp.concatenate([jnp.zeros_like(cw2[..., :1]), cw2], axis=-1)
-    lo = jnp.clip(base[:, None] + offsets[None, :], 0, wcap)
-    hi = jnp.clip(lo + klen[:, None], 0, wcap)
-    sx = take_many(cw, hi) - take_many(cw, lo)
-    sxx = take_many(cw2, hi) - take_many(cw2, lo)
+    # sliding sums of work and work^2 over klen-windows via cumsum; the two
+    # ends of each window are contiguous runs at base and base+klen.  Pad by
+    # scap so the slices never clip-shift (offsets beyond `search` are masked
+    # by the caller, but a clipped dynamic-slice start would corrupt the
+    # valid head too).
+    def padded_cumsum(v):
+        c = jnp.cumsum(v, axis=-1)
+        zero = jnp.zeros_like(c[..., :1])
+        return jnp.concatenate(
+            [zero, c, jnp.broadcast_to(c[..., -1:], (*c.shape[:-1], scap))], axis=-1
+        )
+
+    cw = padded_cumsum(w)
+    cw2 = padded_cumsum(w * w)
+    sx = _dyn_slice_rows(cw, base + klen, scap + 1) - _dyn_slice_rows(cw, base, scap + 1)
+    sxx = _dyn_slice_rows(cw2, base + klen, scap + 1) - _dyn_slice_rows(
+        cw2, base, scap + 1
+    )
 
     st = jnp.sum(t, axis=-1, keepdims=True)
     stt = jnp.sum(t * t, axis=-1, keepdims=True)
@@ -732,15 +815,3 @@ def _sample_linear_zero(data, pos, data_len):
     return jnp.where(ok, v0 + (v1 - v0) * frac, 0.0)
 
 
-def _resample_linear(trace, start, frac, span, points: int):
-    """downsample_trace (processor.rs:788-803): `points` linearly interpolated
-    samples from `start + frac` spanning `span` samples."""
-    s, hist = trace.shape
-    last = jnp.float32(hist - 1) - start.astype(jnp.float32)
-    frac = jnp.clip(frac, 0.0, jnp.maximum(last, 0.0))
-    sp = jnp.minimum(span, last - frac)
-    step = sp / (points - 1)
-    i = np.arange(points, dtype=np.float32)
-    pos = start.astype(jnp.float32)[:, None] + frac[:, None] + i[None, :] * step[:, None]
-    lens = jnp.full((s,), hist, jnp.int32)
-    return _sample_linear_zero(trace, pos, lens)

@@ -22,12 +22,21 @@ automatically (balanced halves).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-_PRECISION = jax.lax.Precision.HIGHEST
+# MXU pass count for the DFT matmuls.  HIGHEST (full f32) measures the same
+# analyzer-level speed as HIGH (bf16_3x) on v5e — the hot spots are memory
+# passes, not matmul throughput — while HIGH costs ~45 dB of spectral floor.
+# Keep HIGHEST; override with OPENMETERS_FFT_PRECISION for experiments.
+_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("OPENMETERS_FFT_PRECISION", "highest").lower()]
 
 
 @functools.lru_cache(maxsize=None)
@@ -135,6 +144,20 @@ def ifft_mxu(re, im, n: int | None = None):
     fr, fi = _fft_core(_pad_last(re, n), -_pad_last(im, n), n)
     inv = 1.0 / n
     return fr * inv, -fi * inv
+
+
+def irfft_mxu(spec_re, spec_im, n: int):
+    """Inverse of :func:`rfft_mxu`: one-sided ``[..., n//2+1]`` (re, im) ->
+    real ``[..., n]``.  Rebuilds the hermitian spectrum with a static mirror
+    (cheap permutation) and runs the MXU inverse FFT."""
+    if not _is_pow2(n):
+        out = jnp.fft.irfft(spec_re + 1j * spec_im, n=n, axis=-1)
+        return out.astype(jnp.float32)
+    half = n // 2  # bins = half + 1; remaining bins k = half+1..n-1 = conj(spec[n-k])
+    full_re = jnp.concatenate([spec_re, spec_re[..., 1:half][..., ::-1]], axis=-1)
+    full_im = jnp.concatenate([spec_im, -spec_im[..., 1:half][..., ::-1]], axis=-1)
+    re, _ = ifft_mxu(full_re, full_im, n)
+    return re
 
 
 def _pad_last(x, n: int):

@@ -207,6 +207,34 @@ def stereometer_scaled_compression(x, y):
     return x * scale, y * scale
 
 
+def resample_trace(window: np.ndarray, span: float, frac: float = 0.0,
+                   max_points: int = 4096) -> np.ndarray:
+    """Oscilloscope ``downsample_trace`` (oscilloscope/processor.rs:788-803):
+    linearly resample a captured window to ``clamp(round(span)+1, 2,
+    max_points)`` points starting at fractional offset ``frac``.
+
+    The device snapshot ships the raw capture window; this render-side helper
+    produces exactly the reference's resampled trace.
+    """
+    data = np.asarray(window, np.float32)
+    if data.ndim > 1:
+        return np.stack([resample_trace(d, span, frac, max_points) for d in data])
+    if len(data) < 2:
+        return np.zeros(0, np.float32)
+    target = int(np.clip(round(span) + 1, 2, max_points))
+    last = len(data) - 1.0
+    frac = float(np.clip(frac, 0.0, last))
+    span = min(float(span), last - frac)
+    if not (np.isfinite(span) and span > 0):
+        return np.zeros(0, np.float32)
+    pos = frac + np.arange(target) * (span / (target - 1))
+    i0 = np.clip(pos.astype(np.int64), 0, len(data) - 1)
+    i1 = np.clip(i0 + 1, 0, len(data) - 1)
+    t = (pos - i0).astype(np.float32)
+    out = data[i0] * (1 - t) + data[i1] * t
+    return np.where((pos >= 0) & (pos <= last), out, 0.0).astype(np.float32)
+
+
 class SpectrogramHistory:
     """Host-side column ring mirror (spectrogram/state.rs:53-175): retains the
     most recent ``columns`` packed-u16 classic columns for renderers, resizing

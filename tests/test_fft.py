@@ -55,3 +55,17 @@ def test_spectral_error_at_f32_floor(rng):
     err = np.max(np.abs(got_p - want_p)) / np.max(want_p)
     floor = np.max(np.abs(floor_p - want_p)) / np.max(want_p)
     assert err < 4.0 * floor, f"{10*np.log10(err):.1f} dB vs floor {10*np.log10(floor):.1f} dB"
+
+
+def test_irfft_roundtrip(rng):
+    from openmeters_tpu.ops.fft import irfft_mxu
+
+    n = 2048
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    spec = np.fft.rfft(x.astype(np.float64))
+    got = np.asarray(
+        irfft_mxu(
+            np.real(spec).astype(np.float32), np.imag(spec).astype(np.float32), n
+        )
+    )
+    assert np.max(np.abs(got - x)) < 1e-5

@@ -203,9 +203,13 @@ def test_zero_crossing_edges_near_zero():
     stereo = np.stack([mono, mono], axis=-1)[None]
     carry, snap = ana.step(carry, stereo)
     assert bool(snap.trace_valid[0, 0]) and bool(snap.trace_valid[0, 1])
-    samples = np.asarray(snap.samples)[0]
-    assert 0.0 < samples[0, 0] < 0.15, "left edge should sit just after a rising zero"
-    assert abs(samples[0, -1]) < 0.15, "right edge should end near a zero"
+    from openmeters_tpu.views import resample_trace
+
+    trace = resample_trace(
+        np.asarray(snap.samples)[0, 0], float(snap.span[0]), float(snap.frac[0])
+    )
+    assert 0.0 < trace[0] < 0.15, "left edge should sit just after a rising zero"
+    assert abs(trace[-1]) < 0.15, "right edge should end near a zero"
 
 
 def test_linked_trigger_preserves_inverted_stereo_phase():
@@ -224,7 +228,11 @@ def test_linked_trigger_preserves_inverted_stereo_phase():
     assert bool(snap.locked[0])
     det = detected_rate(snap)
     assert det is not None and abs(det - 440.0) < 20.0
-    a, b = np.asarray(snap.samples)[0]
+    from openmeters_tpu.views import resample_trace
+
+    span, frac = float(snap.span[0]), float(snap.frac[0])
+    a = resample_trace(np.asarray(snap.samples)[0, 0], span, frac)
+    b = resample_trace(np.asarray(snap.samples)[0, 1], span, frac)
     corr = float(np.dot(a, b) / np.sqrt(np.dot(a, a) * np.dot(b, b)))
     assert corr < -0.9, f"linked trigger should preserve inverted phase, got {corr}"
 
