@@ -166,9 +166,17 @@ class SpectrumAnalyzer:
 
         w = window_coefficients(cfg.window, cfg.fft_size)
         norm = fft_bin_normalization(w, cfg.fft_size)
-        mean = jnp.mean(frames, axis=-1, keepdims=True)
-        spec = rfft_mxu((frames - mean) * w, cfg.fft_size)
-        power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * norm  # [S,2,cap,bins]
+        from openmeters_tpu.ops.pallas_stft import stft_power_fused, stft_power_supported
+
+        if stft_power_supported(cfg.fft_size):
+            flat = frames.reshape(s * TRACE_COUNT * fb.cols_cap, cfg.fft_size)
+            power = stft_power_fused(flat, w, norm, cfg.fft_size, self.bins).reshape(
+                s, TRACE_COUNT, fb.cols_cap, self.bins
+            )
+        else:
+            mean = jnp.mean(frames, axis=-1, keepdims=True)
+            spec = rfft_mxu((frames - mean) * w, cfg.fft_size)
+            power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * norm  # [S,2,cap,bins]
 
         smoothed = carry["smoothed"]
         if reset_mask is not None:
