@@ -70,11 +70,14 @@ def measure(engine, n_streams: int, iters: int = 20) -> dict:
     def run_k(carry, blocks_in):
         def body(c, i):
             c, snaps = engine.step(c, blocks_in[i], meta, reset)
-            # consume EVERY snapshot leaf so XLA cannot dead-code-eliminate
-            # any analyzer's output computation
-            probe = sum(
-                jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(snaps)
-            )
+            # consume EVERY snapshot leaf (full reductions) so XLA cannot
+            # dead-code-eliminate or narrow any analyzer's output computation
+            probe = jnp.float32(0)
+            for leaf in jax.tree.leaves(snaps):
+                if jnp.issubdtype(leaf.dtype, jnp.floating):
+                    probe += jnp.sum(leaf)
+                else:
+                    probe += jnp.sum(leaf.astype(jnp.int32)).astype(jnp.float32)
             return c, probe
         idx = jnp.arange(iters, dtype=jnp.int32) % n_blocks
         return jax.lax.scan(body, carry, idx)
@@ -99,7 +102,37 @@ def measure(engine, n_streams: int, iters: int = 20) -> dict:
     }
 
 
+def build_full_engine(n_streams_hint: int = 1024):
+    """Config-5 style: all six analyzers on one batched graph."""
+    from openmeters_tpu.analyzers.oscilloscope import OscilloscopeConfig
+    from openmeters_tpu.analyzers.spectrogram import SpectrogramConfig
+    from openmeters_tpu.analyzers.spectrum import SpectrumConfig
+    from openmeters_tpu.analyzers.stereometer import StereometerConfig
+    from openmeters_tpu.analyzers.waveform import WaveformConfig
+    from openmeters_tpu.engine import EngineConfig, MeterEngine
+
+    cfg = EngineConfig(
+        channels=2,
+        spectrogram=SpectrogramConfig(fft_size=2048, hop_size=64, use_reassignment=False),
+        spectrum=SpectrumConfig(),
+        oscilloscope=OscilloscopeConfig(trigger_every=3),
+        stereometer=StereometerConfig(analyze_bands=True),
+        waveform=WaveformConfig(analyze_bands=True),
+    )
+    return MeterEngine(cfg)
+
+
 def main():
+    if os.environ.get("OPENMETERS_BENCH_FULL"):
+        eng = build_full_engine()
+        for n in (512, 1024, 2048):
+            r = measure(eng, n)
+            print(
+                f"# full-suite S={r['n_streams']}: {r['step_ms']:.2f} ms/step, "
+                f"{r['streams_realtime']:.0f} streams realtime",
+                file=sys.stderr,
+            )
+
     engine = build_engine()
     best = None
     results = []
