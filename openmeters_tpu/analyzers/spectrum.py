@@ -166,9 +166,9 @@ class SpectrumAnalyzer:
 
         w = window_coefficients(cfg.window, cfg.fft_size)
         norm = fft_bin_normalization(w, cfg.fft_size)
-        from openmeters_tpu.ops.pallas_stft import stft_power_fused, stft_power_supported
+        from openmeters_tpu.ops.pallas_stft import stft_power_fused, stft_power_enabled
 
-        if stft_power_supported(cfg.fft_size):
+        if stft_power_enabled(cfg.fft_size):
             flat = frames.reshape(s * TRACE_COUNT * fb.cols_cap, cfg.fft_size)
             power = stft_power_fused(flat, w, norm, cfg.fft_size, self.bins).reshape(
                 s, TRACE_COUNT, fb.cols_cap, self.bins

@@ -137,3 +137,14 @@ def stft_power_fused(frames, window, norms, fft_size: int, bins: int,
 def stft_power_supported(fft_size: int) -> bool:
     """The fused kernel covers power-of-two sizes with square-ish factors."""
     return fft_size >= 256 and (fft_size & (fft_size - 1)) == 0
+
+
+def stft_power_enabled(fft_size: int) -> bool:
+    """Fused kernel gate: currently opt-in (OPENMETERS_FUSED_STFT=1) — the
+    Mosaic TPU compiler in this environment rejects the kernel's reshape ops
+    ("unsupported shape cast"); the XLA six-step path is the default."""
+    import os
+
+    return bool(os.environ.get("OPENMETERS_FUSED_STFT")) and stft_power_supported(
+        fft_size
+    )
