@@ -127,7 +127,7 @@ class LoudnessAnalyzer:
         if lane_reset is not None:
             kw_state = jnp.where(lane_reset, 0.0, kw_state)
         filtered, kw_state = biquad_cascade_scan(
-            x, kw_state, self._kw_coeffs, finite_reset=False
+            x, kw_state, self._kw_coeffs, finite_reset=False, unroll=32
         )
         # per-block denormal flush of recursive state (processor.rs:281-285)
         kw_state = flush_denormal_state(kw_state)

@@ -111,13 +111,35 @@ def rfft_mxu(x, n: int | None = None):
 
     Pads/truncates the last axis to ``n`` like ``jnp.fft.rfft(x, n)``.
     Non-power-of-two sizes fall back to XLA's fft.
+
+    When the flattened batch is even, two real frames ride one complex
+    transform (z = a + ib; A = (Z(k) + conj(Z(-k)))/2, B = -i(Z(k) -
+    conj(Z(-k)))/2) — halving the MXU work and memory traffic.
     """
     n = n or x.shape[-1]
     if not _is_pow2(n):
         return jnp.fft.rfft(x.astype(jnp.float32), n=n, axis=-1)
     x = _pad_last(x.astype(jnp.float32), n)
-    re, im = _fft_core(x, None, n)
+    batch_shape = x.shape[:-1]
+    total = int(np.prod(batch_shape)) if batch_shape else 1
     bins = n // 2 + 1
+
+    if total >= 2 and total % 2 == 0:
+        flat = x.reshape(total // 2, 2, n)
+        fr, fi = _fft_core(flat[:, 0], flat[:, 1], n)
+        # Z(-k) = Z((n-k) mod n): full-spectrum mirror, then one-sided slice
+        mr = jnp.concatenate([fr[..., :1], fr[..., 1:][..., ::-1]], axis=-1)[..., :bins]
+        mi = jnp.concatenate([fi[..., :1], fi[..., 1:][..., ::-1]], axis=-1)[..., :bins]
+        fr, fi = fr[..., :bins], fi[..., :bins]
+        a_re = 0.5 * (fr + mr)
+        a_im = 0.5 * (fi - mi)
+        b_re = 0.5 * (fi + mi)
+        b_im = 0.5 * (mr - fr)
+        out_re = jnp.stack([a_re, b_re], axis=1).reshape(*batch_shape, bins)
+        out_im = jnp.stack([a_im, b_im], axis=1).reshape(*batch_shape, bins)
+        return jax.lax.complex(out_re, out_im)
+
+    re, im = _fft_core(x, None, n)
     return jax.lax.complex(re[..., :bins], im[..., :bins])
 
 
