@@ -207,6 +207,51 @@ def stereometer_scaled_compression(x, y):
     return x * scale, y * scale
 
 
+def reassigned_accumulate(
+    freq_hz: np.ndarray,
+    time_offset: np.ndarray,
+    power: np.ndarray,
+    point_valid: np.ndarray,
+    *,
+    time_bins: int,
+    freq_lo_hz: float,
+    freq_hi_hz: float,
+    freq_bins: int,
+    scale=None,
+    time_origin: float = 0.0,
+    power_scale: float = 1.0,
+) -> np.ndarray:
+    """Accumulate reassigned (t, f, power) splats into a dense image.
+
+    The headless analogue of the GPU splat pass (spectrogram/render.rs:93-158,
+    spectrogram.wgsl:216-225): points are additively deposited into a
+    ``[time_bins, freq_bins]`` power image with nearest-bin splatting on the
+    chosen frequency scale; power conservation holds (sum of image =
+    ``power_scale`` * sum of deposited powers).  Feed the result through
+    ``power -> dB -> GradientPalette.evaluate`` for the rendered picture.
+
+    ``time_offset`` is in hops relative to each point's column;
+    ``time_origin`` shifts columns into image coordinates.
+    """
+    from openmeters_tpu.utils.frequency import FrequencyScale
+
+    scale = scale or FrequencyScale.LOGARITHMIC
+    f = np.asarray(freq_hz, np.float32).ravel()
+    t = np.asarray(time_offset, np.float32).ravel() + time_origin
+    p = np.asarray(power, np.float32).ravel() * power_scale
+    m = np.asarray(point_valid, bool).ravel()
+
+    img = np.zeros((time_bins, freq_bins), np.float32)
+    if not m.any():
+        return img
+    f, t, p = f[m], t[m], p[m]
+    fx = scale.pos_of(freq_lo_hz, freq_hi_hz, f)
+    fi = np.clip((fx * freq_bins).astype(np.int64), 0, freq_bins - 1)
+    ti = np.clip(np.round(t).astype(np.int64), 0, time_bins - 1)
+    np.add.at(img, (ti, fi), p)
+    return img
+
+
 def resample_trace(window: np.ndarray, span: float, frac: float = 0.0,
                    max_points: int = 4096) -> np.ndarray:
     """Oscilloscope ``downsample_trace`` (oscilloscope/processor.rs:788-803):
