@@ -42,7 +42,9 @@ class FrameBuffer:
 
     @property
     def ring_len(self) -> int:
-        return self.read_len + self.block
+        # one extra hop of history so sliding-DFT consumers can read the
+        # samples that just left the oldest ready window
+        return self.read_len + self.block + self.hop
 
     def init(self, lanes: int) -> dict:
         return {
@@ -51,12 +53,13 @@ class FrameBuffer:
             "fresh": jnp.zeros((lanes,), jnp.int32),  # post-reset samples
         }
 
-    def push(self, carry: dict, block, reset_mask=None):
-        """Ingest ``[lanes, B]`` samples; emit ready windows.
+    def advance(self, carry: dict, block, reset_mask=None):
+        """Ingest ``[lanes, B]`` samples; compute hop bookkeeping only.
 
-        Returns ``(new_carry, frames [lanes, cols_cap, read_len],
-        valid [lanes, cols_cap])``.  Invalid slots repeat a ready window
-        (callers mask).
+        Returns ``(new_carry, info)`` where info holds the new buffer, the
+        scalar window ``base`` index / ``ready`` count and the per-lane
+        ``valid [lanes, cols_cap]`` mask.  Frame extraction is separate
+        (:meth:`extract`) so cheap consumers (sliding DFT) can slice less.
         """
         b = self.block
         assert block.shape[-1] == b
@@ -75,20 +78,6 @@ class FrameBuffer:
         )
         ready = jnp.clip(ready, 0, self.cols_cap)  # scalar
 
-        # Window k (k = 0 oldest this step) starts at buffer index
-        # ring_len - avail_p + k*hop and spans read_len samples.
-        base = self.ring_len - avail_p
-        frames = []
-        for k in range(self.cols_cap):
-            k_eff = jnp.minimum(jnp.int32(k), jnp.maximum(ready - 1, 0))
-            start = jnp.clip(base + k_eff * self.hop, 0, self.ring_len - self.read_len)
-            frames.append(
-                jax.lax.dynamic_slice(
-                    buf, (jnp.int32(0), start), (buf.shape[0], self.read_len)
-                )
-            )
-        frames = jnp.stack(frames, axis=1)  # [lanes, cap, read_len]
-
         # lane validity: the window must be entirely post-reset.  Window k
         # ends (ready - 1 - k) * hop samples before the newest sample.
         k = jnp.arange(self.cols_cap, dtype=jnp.int32)
@@ -102,4 +91,38 @@ class FrameBuffer:
             "avail": avail_p - ready * self.hop,
             "fresh": fresh,
         }
-        return new_carry, frames, valid
+        info = {
+            "buf": buf,
+            # window k starts at buffer index base + k*hop, spans read_len
+            "base": self.ring_len - avail_p,
+            "ready": ready,
+            "valid": valid,
+        }
+        return new_carry, info
+
+    def extract(self, info):
+        """Materialize all ready windows: ``[lanes, cols_cap, read_len]``."""
+        buf, base, ready = info["buf"], info["base"], info["ready"]
+        frames = []
+        for k in range(self.cols_cap):
+            k_eff = jnp.minimum(jnp.int32(k), jnp.maximum(ready - 1, 0))
+            start = jnp.clip(base + k_eff * self.hop, 0, self.ring_len - self.read_len)
+            frames.append(
+                jax.lax.dynamic_slice(
+                    buf, (jnp.int32(0), start), (buf.shape[0], self.read_len)
+                )
+            )
+        return jnp.stack(frames, axis=1)
+
+    def slice(self, info, offset, length: int):
+        """Contiguous ``[lanes, length]`` slice at ``base + offset`` (scalar)."""
+        buf = info["buf"]
+        start = jnp.clip(info["base"] + offset, 0, self.ring_len - length)
+        return jax.lax.dynamic_slice(
+            buf, (jnp.int32(0), start), (buf.shape[0], length)
+        )
+
+    def push(self, carry: dict, block, reset_mask=None):
+        """advance + extract (back-compat): returns (carry, frames, valid)."""
+        new_carry, info = self.advance(carry, block, reset_mask)
+        return new_carry, self.extract(info), info["valid"]
