@@ -32,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from openmeters_tpu.ops.iir import biquad_cascade_scan, flush_denormal_state
+from openmeters_tpu.ops.iir import flush_denormal_state, lifted_iir_scan
 from openmeters_tpu.ops.truepeak import TruePeakKernel
 from openmeters_tpu.ops.windowed import BlockWindowedMeans
 from openmeters_tpu.utils.channels import MAX_AUDIO_CHANNELS
@@ -96,7 +96,7 @@ class LoudnessAnalyzer:
     def init(self, n_streams: int) -> dict:
         c = self.config.channels
         return {
-            "kw": jnp.zeros((2, 2, n_streams, c), jnp.float32),
+            "kw": jnp.zeros((4, n_streams, c), jnp.float32),
             "wm": self._windows.init((n_streams, c)),
             "tp": self._truepeak.init((n_streams, c)),
         }
@@ -126,9 +126,9 @@ class LoudnessAnalyzer:
         kw_state = carry["kw"]
         if lane_reset is not None:
             kw_state = jnp.where(lane_reset, 0.0, kw_state)
-        filtered, kw_state = biquad_cascade_scan(
-            x, kw_state, self._kw_coeffs, finite_reset=False, unroll=32
-        )
+        # K-weighting as a lifted block state-space cascade: 32 samples per
+        # MXU matmul step instead of per-sample recursion (ops/iir.py)
+        filtered, kw_state = lifted_iir_scan(x, kw_state, self._kw_coeffs)
         # per-block denormal flush of recursive state (processor.rs:281-285)
         kw_state = flush_denormal_state(kw_state)
 

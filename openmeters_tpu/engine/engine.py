@@ -219,7 +219,7 @@ class MeterEngine:
             wl = self.analyzers["loudness"]._windows  # noqa: SLF001
             del wl
             return {
-                "kw": P(None, None, axis, None),
+                "kw": P(None, axis, None),
                 "wm": {
                     "totals": P(None, axis, None),
                     "suffix": P(None, None, axis, None),

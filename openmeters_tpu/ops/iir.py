@@ -18,6 +18,7 @@ rate-change filter plans.
 from __future__ import annotations
 
 import enum
+import functools
 import math
 from functools import partial
 
@@ -193,3 +194,96 @@ def three_band_scan(
 def flush_denormal_state(state, threshold: float = 1.0e-20):
     """Per-block denormal flush of recursive state (dsp.rs:391-393)."""
     return jnp.where(jnp.abs(state) < threshold, jnp.zeros_like(state), state)
+
+
+# -- lifted (block state-space) IIR ------------------------------------------
+#
+# A DF2T biquad is the 2-state system  s' = A s + B x,  y = C s + D x  with
+#   A = [[-a1, 1], [-a2, 0]],  B = [b1 - a1 b0, b2 - a2 b0],  C = [1, 0],
+#   D = b0.
+# Cascading sections block-concatenates the state; lifting L samples turns
+# the per-sample recurrence into one affine map per L-block:
+#   Y_blk = G s + H X_blk        (G [L, n],  H [L, L] lower-triangular)
+#   s'    = F s + K X_blk        (F = A^L,   K = [A^(L-1) B ... B])
+# computed on the MXU.  All matrices are built host-side in float64, so the
+# lifted path matches the sequential scan to f32 rounding while cutting the
+# scan length (and its per-step dispatch overhead) by L.
+
+
+def _sos_state_space(sections):
+    """Cascade state-space (A, B, C, D) in float64 for DF2T sections."""
+    a_c = None
+    for b0, b1, b2, a1, a2 in sections:
+        a = np.array([[-a1, 1.0], [-a2, 0.0]])
+        b = np.array([b1 - a1 * b0, b2 - a2 * b0])
+        c = np.array([1.0, 0.0])
+        d = b0
+        if a_c is None:
+            a_c, b_c, c_c, d_c = a, b, c, d
+        else:
+            n = a_c.shape[0]
+            a_new = np.zeros((n + 2, n + 2))
+            a_new[:n, :n] = a_c
+            a_new[n:, :n] = np.outer(b, c_c)
+            a_new[n:, n:] = a
+            b_new = np.concatenate([b_c, b * d_c])
+            c_new = np.concatenate([d * c_c, c])
+            d_new = d * d_c
+            a_c, b_c, c_c, d_c = a_new, b_new, c_new, d_new
+    return a_c, b_c, c_c, d_c
+
+
+@functools.lru_cache(maxsize=None)
+def _lifted_mats(sections, lift: int):
+    a, b, c, d = _sos_state_space(sections)
+    n = a.shape[0]
+    powers = [np.eye(n)]
+    for _ in range(lift):
+        powers.append(a @ powers[-1])
+    f = powers[lift]
+    k = np.stack([powers[lift - 1 - i] @ b for i in range(lift)], axis=1)  # [n, L]
+    g = np.stack([c @ powers[j] for j in range(lift)], axis=0)  # [L, n]
+    h = np.zeros((lift, lift))
+    for j in range(lift):
+        h[j, j] = d
+        for i in range(j):
+            h[j, i] = c @ powers[j - 1 - i] @ b
+    # cache plain numpy: jnp conversion inside a trace would leak tracers
+    return tuple(m.astype(np.float32) for m in (f, k, g, h))
+
+
+@functools.partial(jax.jit, static_argnames=("sections", "lift"))
+def lifted_iir_scan(x, state, sections, lift: int = 32):
+    """Cascade IIR over ``[T, lanes...]`` input via L-sample lifted blocks.
+
+    ``state``: ``[n_state, lanes...]`` (2 per section, cascade-ordered; the
+    values are exactly the DF2T (z0, z1) states of :func:`biquad_cascade_scan`).
+    Returns ``(y [T, lanes...], new_state)``.  A trailing partial block is
+    handled with a remainder-lift call.
+    """
+    t = x.shape[0]
+    lift = min(lift, t)
+    rem = t % lift
+    if rem:
+        y0, state = lifted_iir_scan(x[: t - rem], state, sections, lift)
+        y1, state = lifted_iir_scan(x[t - rem :], state, sections, rem)
+        return jnp.concatenate([y0, y1], axis=0), state
+    lanes = x.shape[1:]
+    m = int(np.prod(lanes)) if lanes else 1
+    f, k, g, h = _lifted_mats(tuple(tuple(float(v) for v in s) for s in sections), lift)
+    prec = jax.lax.Precision.HIGHEST
+
+    xb = x.reshape(t // lift, lift, m)
+
+    def step(s, x_blk):
+        y = jnp.einsum("ln,nm->lm", g, s, precision=prec) + jnp.einsum(
+            "lj,jm->lm", h, x_blk, precision=prec
+        )
+        s_next = jnp.einsum("nk,km->nm", f, s, precision=prec) + jnp.einsum(
+            "nl,lm->nm", k, x_blk, precision=prec
+        )
+        return s_next, y
+
+    s0 = state.reshape(state.shape[0], m)
+    s_final, ys = jax.lax.scan(step, s0, xb)
+    return ys.reshape(t, *lanes), s_final.reshape(state.shape)

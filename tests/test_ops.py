@@ -246,3 +246,23 @@ def test_frame_buffer_reset_restarts_timeline(rng):
     assert valid.any()
     k = int(np.nonzero(valid)[0][0])
     np.testing.assert_allclose(np.asarray(frames)[0, k], x[24:40])
+
+
+def test_lifted_iir_matches_sequential_scan(rng):
+    """Lifted block state-space cascade == per-sample DF2T scan (f32)."""
+    from openmeters_tpu.ops.iir import lifted_iir_scan
+    from openmeters_tpu.utils.weighting import k_weighting_sos
+
+    sos = k_weighting_sos(48_000.0)
+    coeffs = tuple(
+        (float(s[0]), float(s[1]), float(s[2]), float(s[4]), float(s[5])) for s in sos
+    )
+    x = rng.standard_normal(235).astype(np.float32)[:, None]  # non-multiple of 32
+    seq, seq_state = biquad_cascade_scan(
+        x, jnp.zeros((2, 2, 1)), coeffs, finite_reset=False
+    )
+    lift, lift_state = lifted_iir_scan(x, jnp.zeros((4, 1)), coeffs, lift=32)
+    np.testing.assert_allclose(np.asarray(lift), np.asarray(seq), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(lift_state).ravel(), np.asarray(seq_state).ravel(), atol=1e-4
+    )
