@@ -32,7 +32,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from openmeters_tpu.ops.iir import flush_denormal_state, lifted_iir_scan
+from openmeters_tpu.ops.iir import (
+    biquad_cascade_scan,
+    flush_denormal_state,
+    lifted_iir_scan,
+)
 from openmeters_tpu.ops.truepeak import TruePeakKernel
 from openmeters_tpu.ops.windowed import BlockWindowedMeans
 from openmeters_tpu.utils.channels import MAX_AUDIO_CHANNELS
@@ -126,9 +130,22 @@ class LoudnessAnalyzer:
         kw_state = carry["kw"]
         if lane_reset is not None:
             kw_state = jnp.where(lane_reset, 0.0, kw_state)
-        # K-weighting as a lifted block state-space cascade: 32 samples per
-        # MXU matmul step instead of per-sample recursion (ops/iir.py)
-        filtered, kw_state = lifted_iir_scan(x, kw_state, self._kw_coeffs)
+        # K-weighting cascade.  The sequential unrolled scan measures faster
+        # than the lifted block state-space form on v5e (the lifted path's
+        # small HIGHEST-precision matmuls hit a slow lowering); both are
+        # available in ops/iir.py and numerically equivalent.
+        import os
+
+        if os.environ.get("OPENMETERS_LIFTED_KW"):
+            filtered, kw_state = lifted_iir_scan(x, kw_state, self._kw_coeffs)
+        else:
+            seq_state = jnp.stack(
+                [kw_state[0:2], kw_state[2:4]]
+            )  # [sections, 2, ...]
+            filtered, seq_state = biquad_cascade_scan(
+                x, seq_state, self._kw_coeffs, finite_reset=False, unroll=32
+            )
+            kw_state = jnp.concatenate([seq_state[0], seq_state[1]], axis=0)
         # per-block denormal flush of recursive state (processor.rs:281-285)
         kw_state = flush_denormal_state(kw_state)
 
