@@ -184,33 +184,27 @@ class SpectrogramAnalyzer:
         return reassigned_power_scale(w, self.padded_fft)
 
     @property
-    def use_sliding(self) -> bool:
-        """Sliding-DFT classic path: valid for unpadded power-of-two FFTs
-        with meaningful overlap (hop <= fft/2) and cosine-sum windows — i.e.
-        every stock classic config."""
+    def _sliding(self):
+        from openmeters_tpu.ops.sliding_stft import SlidingSTFT
+
         cfg = self.config
-        n = cfg.fft_size
+        return SlidingSTFT(cfg.fft_size, cfg.hop_size, cfg.block_frames, cfg.window)
+
+    @property
+    def use_sliding(self) -> bool:
+        """Sliding-DFT classic path (ops/sliding_stft.py): unpadded
+        power-of-two FFTs with hop <= fft/2 — every stock classic config."""
+        cfg = self.config
         return (
             not cfg.use_reassignment
             and cfg.zero_padding_factor == 1
-            and n >= 64
-            and (n & (n - 1)) == 0
-            and cfg.hop_size * 2 <= n
+            and self._sliding.supported
         )
-
-    # exact re-anchor cadence (engine steps); drift over <= R*cols_cap hops
-    # of single matmul roundings stays far below the 0.0024 dB u16 code step
-    SLIDING_REFRESH_STEPS = 8
 
     def init(self, n_streams: int) -> dict:
         carry = {"fb": self._frames.init(n_streams)}
         if self.use_sliding:
-            carry["sdft"] = {
-                "re": jnp.zeros((n_streams, self.bins), jnp.float32),
-                "im": jnp.zeros((n_streams, self.bins), jnp.float32),
-                "count": jnp.zeros((), jnp.int32),
-                "anchored": jnp.zeros((), bool),
-            }
+            carry["sdft"] = self._sliding.init(n_streams)
         return carry
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -232,123 +226,13 @@ class SpectrogramAnalyzer:
 
     # -- sliding classic ----------------------------------------------------
 
-    def _sliding_consts(self):
-        """Static phasor/update matrices for the sliding DFT."""
-        n = self.config.fft_size
-        h = self.config.hop_size
-        bins = self.bins
-        k = np.arange(bins)
-        rot = np.exp(2j * np.pi * k * h / n)  # advance-by-hop phasor
-        j = np.arange(h)
-        upd = np.exp(-2j * np.pi * np.outer(j, k) / n)  # [h, bins]
-        return (
-            rot.real.astype(np.float32), rot.imag.astype(np.float32),
-            upd.real.astype(np.float32), upd.imag.astype(np.float32),
-        )
-
-    def _window_stencil(self):
-        """Cosine-sum coefficients of the periodic analysis window: w[m] =
-        sum_j a_j cos(2 pi j m / n)."""
-        return np.asarray(self.config.window.cosine_coefficients, np.float64)
-
-    def _apply_window_freq(self, fr, fi):
-        """Windowing as frequency-domain convolution: for w[m] = sum a_j
-        cos(2 pi j m / N), W-DFT[k] = a_0 F[k] + sum_j a_j/2 (F[k-j] + F[k+j])
-        with hermitian edge reflection (real input)."""
-        coeffs = self._window_stencil()
-        bins = self.bins
-        out_r = float(coeffs[0]) * fr
-        out_i = float(coeffs[0]) * fi
-        for j, a in enumerate(coeffs[1:], start=1):
-            half = 0.5 * float(a)
-            # F[k - j]: k-j < 0 reflects to conj(F[j - k])
-            lo_r = jnp.concatenate([fr[..., 1 : j + 1][..., ::-1], fr[..., : bins - j]], axis=-1)
-            lo_i = jnp.concatenate([-fi[..., 1 : j + 1][..., ::-1], fi[..., : bins - j]], axis=-1)
-            # F[k + j]: k+j > n/2 reflects to conj(F[n - k - j])
-            hi_r = jnp.concatenate([fr[..., j:], fr[..., bins - j - 1 : bins - 1][..., ::-1]], axis=-1)
-            hi_i = jnp.concatenate([fi[..., j:], -fi[..., bins - j - 1 : bins - 1][..., ::-1]], axis=-1)
-            out_r = out_r + half * (lo_r + hi_r)
-            out_i = out_i + half * (lo_i + hi_i)
-        return out_r, out_i
-
-    def _dc_correction(self, wr, wi, raw_f0):
-        """DC removal in frequency domain: subtracting the frame mean m =
-        F_raw[0]/N from the frame changes the windowed spectrum by
-        -m * W[k], where W (the DFT of the window) is nonzero only at the
-        stencil bins: W[0] = a_0 N, W[±j] = a_j N / 2."""
-        n = self.config.fft_size
-        coeffs = self._window_stencil()
-        mean = raw_f0[..., None] / n  # imag of raw bin 0 is 0 for real input
-        corr = np.zeros((self.bins,), np.float32)
-        corr[0] = float(coeffs[0]) * n
-        for j, a in enumerate(coeffs[1:], start=1):
-            if j < self.bins:
-                corr[j] = 0.5 * float(a) * n
-        return wr - mean * corr, wi
-
     def _classic_sliding(self, sdft, info):
         cfg = self.config
-        fb = self._frames
-        n, h, bins = cfg.fft_size, cfg.hop_size, self.bins
-        rot_r, rot_i, upd_r, upd_i = self._sliding_consts()
-        prec = jax.lax.Precision.HIGHEST
-
-        ready, valid = info["ready"], info["valid"]
-        count = sdft["count"]
-        # re-anchor periodically AND at the first ready column (slides are
-        # exact relative updates; they need one absolute anchor)
-        refresh = ((count % self.SLIDING_REFRESH_STEPS == 0) | ~sdft["anchored"]) & (
-            ready > 0
-        )
-
-        def slide(fr, fi, k):
-            """Advance F by one hop into column k (delta matmul + rotate)."""
-            prev = (k - 1) * h
-            old = fb.slice(info, prev, h)
-            new = fb.slice(info, prev + n, h)
-            d = new - old
-            dr = jnp.einsum("sh,hb->sb", d, upd_r, precision=prec)
-            di = jnp.einsum("sh,hb->sb", d, upd_i, precision=prec)
-            tr = fr + dr
-            ti = fi + di
-            return tr * rot_r - ti * rot_i, tr * rot_i + ti * rot_r
-
-        def exact_col0(_):
-            frame0 = fb.slice(info, 0, n)
-            spec = rfft_mxu(frame0, n)
-            return jnp.real(spec), jnp.imag(spec)
-
-        fr, fi = sdft["re"], sdft["im"]
-        f0r, f0i = slide(fr, fi, 0)
-        f0r, f0i = jax.lax.cond(
-            refresh, exact_col0, lambda _: (f0r, f0i), None
-        )
-
-        cols = []
-        cur_r, cur_i = fr, fi
-        for k in range(fb.cols_cap):
-            if k == 0:
-                nxt_r, nxt_i = f0r, f0i
-            else:
-                nxt_r, nxt_i = slide(cur_r, cur_i, k)
-            emit = jnp.int32(k) < ready
-            cur_r = jnp.where(emit, nxt_r, cur_r)
-            cur_i = jnp.where(emit, nxt_i, cur_i)
-            wr, wi = self._apply_window_freq(cur_r, cur_i)
-            wr, wi = self._dc_correction(wr, wi, cur_r[..., 0])
-            cols.append(wr * wr + wi * wi)
-
-        w = window_coefficients(cfg.window, n)
-        norm = fft_bin_normalization(w, n)
-        power = jnp.stack(cols, axis=1) * norm  # [S, cap, bins]
-        db = power_to_db(power, DB_FLOOR)
-        new_sdft = {
-            "re": cur_r,
-            "im": cur_i,
-            "count": count + 1,
-            "anchored": sdft["anchored"] | refresh,
-        }
-        return new_sdft, ClassicColumns(codes=pack_classic_db(db), valid=valid)
+        w = window_coefficients(cfg.window, cfg.fft_size)
+        norm = fft_bin_normalization(w, cfg.fft_size)
+        new_sdft, power = self._sliding.step(sdft, info)
+        db = power_to_db(power * norm, DB_FLOOR)
+        return new_sdft, ClassicColumns(codes=pack_classic_db(db), valid=info["valid"])
 
     # -- classic ----------------------------------------------------------
 

@@ -128,11 +128,25 @@ class SpectrumAnalyzer:
             float(np.finfo(np.float32).tiny),
         )
 
+    @property
+    def _sliding(self):
+        from openmeters_tpu.ops.sliding_stft import SlidingSTFT
+
+        cfg = self.config
+        return SlidingSTFT(cfg.fft_size, cfg.hop_size, cfg.block_frames, cfg.window)
+
+    @property
+    def use_sliding(self) -> bool:
+        return self._sliding.supported
+
     def init(self, n_streams: int) -> dict:
-        return {
+        carry = {
             "fb": self._frames.init(n_streams * TRACE_COUNT),
             "smoothed": jnp.zeros((n_streams, TRACE_COUNT, self.bins), jnp.float32),
         }
+        if self.use_sliding:
+            carry["sdft"] = self._sliding.init(n_streams * TRACE_COUNT)
+        return carry
 
     @functools.partial(jax.jit, static_argnums=0)
     def step(self, carry: dict, block, projections=None, reset_mask=None):
@@ -158,22 +172,20 @@ class SpectrumAnalyzer:
         if reset_mask is not None:
             lane_reset = jnp.repeat(reset_mask, TRACE_COUNT)
         fb = self._frames
-        fb_carry, frames, valid = fb.push(
+        fb_carry, info = fb.advance(
             carry["fb"], traces.reshape(s * TRACE_COUNT, b), lane_reset
         )
-        frames = frames.reshape(s, TRACE_COUNT, fb.cols_cap, cfg.fft_size)
-        valid = valid.reshape(s, TRACE_COUNT, fb.cols_cap)
+        valid = info["valid"].reshape(s, TRACE_COUNT, fb.cols_cap)
 
         w = window_coefficients(cfg.window, cfg.fft_size)
         norm = fft_bin_normalization(w, cfg.fft_size)
-        from openmeters_tpu.ops.pallas_stft import stft_power_fused, stft_power_enabled
-
-        if stft_power_enabled(cfg.fft_size):
-            flat = frames.reshape(s * TRACE_COUNT * fb.cols_cap, cfg.fft_size)
-            power = stft_power_fused(flat, w, norm, cfg.fft_size, self.bins).reshape(
-                s, TRACE_COUNT, fb.cols_cap, self.bins
-            )
+        new_sdft = None
+        if self.use_sliding:
+            # hop-rate sliding DFT columns (ops/sliding_stft.py)
+            new_sdft, power = self._sliding.step(carry["sdft"], info)
+            power = (power * norm).reshape(s, TRACE_COUNT, fb.cols_cap, self.bins)
         else:
+            frames = fb.extract(info).reshape(s, TRACE_COUNT, fb.cols_cap, cfg.fft_size)
             mean = jnp.mean(frames, axis=-1, keepdims=True)
             spec = rfft_mxu((frames - mean) * w, cfg.fft_size)
             power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * norm  # [S,2,cap,bins]
@@ -212,6 +224,8 @@ class SpectrumAnalyzer:
         weighted_db = jnp.where(below, floor, jnp.maximum(db + weighting, floor))
 
         new_carry = {"fb": fb_carry, "smoothed": smoothed}
+        if new_sdft is not None:
+            new_carry["sdft"] = new_sdft
         return new_carry, SpectrumSnapshot(
             weighted_db=weighted_db,
             raw_db=raw_db,

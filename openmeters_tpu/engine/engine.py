@@ -232,13 +232,25 @@ class MeterEngine:
         def fb_specs():
             return {"buf": P(axis, None), "avail": P(), "fresh": P(axis)}
 
+        def sdft_specs():
+            return {
+                "re": P(axis, None),
+                "im": P(axis, None),
+                "count": P(),
+                "anchored": P(),
+            }
+
         out = {}
         if "loudness" in self.analyzers:
             out["loudness"] = loudness_specs()
         if "spectrogram" in self.analyzers:
             out["spectrogram"] = {"fb": fb_specs()}
+            if self.analyzers["spectrogram"].use_sliding:
+                out["spectrogram"]["sdft"] = sdft_specs()
         if "spectrum" in self.analyzers:
             out["spectrum"] = {"fb": fb_specs(), "smoothed": P(axis, None, None)}
+            if self.analyzers["spectrum"].use_sliding:
+                out["spectrum"]["sdft"] = sdft_specs()
         for name in ("oscilloscope", "stereometer", "waveform"):
             if name in self.analyzers:
                 out[name] = self.analyzers[name].pspecs(axis)

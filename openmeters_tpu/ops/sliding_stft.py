@@ -1,0 +1,154 @@
+"""Sliding-DFT STFT power columns for high-overlap hop configurations.
+
+For hop << fft (the stock spectrogram 2048/64 and spectrum 16384/1024
+configs), recomputing a full FFT per column wastes >90% of the work: the
+unwindowed DFT advances by one hop with a single ``[hop, bins]`` delta matmul
+plus a phasor rotation:
+
+    F_{t+1}[k] = e^{+i 2 pi k h / N} (F_t[k] + sum_j (x_new[j] - x_old[j])
+                                       e^{-i 2 pi k j / N})
+
+Windowing happens *in the frequency domain*: a cosine-sum window w[m] =
+sum_j a_j cos(2 pi j m / N) is the stencil  a_0 F[k] + sum_j a_j/2
+(F[k-j] + F[k+j])  with hermitian edge reflection (real input), and DC
+removal subtracts mean * W[k] at the stencil bins only.  Slides are exact
+relative updates; an exact MXU-FFT re-anchor every ``refresh_steps`` engine
+steps bounds f32 drift far below the spectrogram's 0.0024 dB u16 code step.
+
+Shared by the classic spectrogram and the spectrum analyzer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmeters_tpu.ops.fft import rfft_mxu
+from openmeters_tpu.ops.framing import FrameBuffer
+from openmeters_tpu.utils.windows import WindowKind
+
+
+@dataclasses.dataclass(frozen=True)
+class SlidingSTFT:
+    fft_size: int
+    hop: int
+    block: int
+    window: WindowKind
+    refresh_steps: int = 8
+
+    @property
+    def bins(self) -> int:
+        return self.fft_size // 2 + 1
+
+    @property
+    def supported(self) -> bool:
+        n = self.fft_size
+        return n >= 64 and (n & (n - 1)) == 0 and self.hop * 2 <= n
+
+    @property
+    def frames(self) -> FrameBuffer:
+        return FrameBuffer(self.fft_size, self.hop, self.block)
+
+    def init(self, lanes: int) -> dict:
+        return {
+            "re": jnp.zeros((lanes, self.bins), jnp.float32),
+            "im": jnp.zeros((lanes, self.bins), jnp.float32),
+            "count": jnp.zeros((), jnp.int32),
+            "anchored": jnp.zeros((), bool),
+        }
+
+    def _consts(self):
+        n, h, bins = self.fft_size, self.hop, self.bins
+        k = np.arange(bins)
+        rot = np.exp(2j * np.pi * k * h / n)
+        j = np.arange(h)
+        upd = np.exp(-2j * np.pi * np.outer(j, k) / n)
+        return (
+            rot.real.astype(np.float32), rot.imag.astype(np.float32),
+            upd.real.astype(np.float32), upd.imag.astype(np.float32),
+        )
+
+    def _stencil(self):
+        return np.asarray(self.window.cosine_coefficients, np.float64)
+
+    def _apply_window_freq(self, fr, fi):
+        coeffs = self._stencil()
+        bins = self.bins
+        out_r = float(coeffs[0]) * fr
+        out_i = float(coeffs[0]) * fi
+        for j, a in enumerate(coeffs[1:], start=1):
+            half = 0.5 * float(a)
+            lo_r = jnp.concatenate([fr[..., 1 : j + 1][..., ::-1], fr[..., : bins - j]], axis=-1)
+            lo_i = jnp.concatenate([-fi[..., 1 : j + 1][..., ::-1], fi[..., : bins - j]], axis=-1)
+            hi_r = jnp.concatenate([fr[..., j:], fr[..., bins - j - 1 : bins - 1][..., ::-1]], axis=-1)
+            hi_i = jnp.concatenate([fi[..., j:], -fi[..., bins - j - 1 : bins - 1][..., ::-1]], axis=-1)
+            out_r = out_r + half * (lo_r + hi_r)
+            out_i = out_i + half * (lo_i + hi_i)
+        return out_r, out_i
+
+    def _dc_corr_vector(self) -> np.ndarray:
+        n = self.fft_size
+        coeffs = self._stencil()
+        corr = np.zeros((self.bins,), np.float32)
+        corr[0] = float(coeffs[0]) * n
+        for j, a in enumerate(coeffs[1:], start=1):
+            if j < self.bins:
+                corr[j] = 0.5 * float(a) * n
+        return corr
+
+    def step(self, sdft: dict, info: dict):
+        """Produce windowed, DC-removed power columns for this engine hop.
+
+        ``info`` comes from ``self.frames.advance``.  Returns
+        ``(new_sdft, power [lanes, cols_cap, bins])``; caller applies bin
+        normalization and masks with ``info['valid']``.
+        """
+        fb = self.frames
+        n, h = self.fft_size, self.hop
+        rot_r, rot_i, upd_r, upd_i = self._consts()
+        dc_corr = self._dc_corr_vector()
+        prec = jax.lax.Precision.HIGHEST
+
+        ready = info["ready"]
+        count = sdft["count"]
+        refresh = ((count % self.refresh_steps == 0) | ~sdft["anchored"]) & (ready > 0)
+
+        def slide(fr, fi, k):
+            prev = (k - 1) * h
+            d = fb.slice(info, prev + n, h) - fb.slice(info, prev, h)
+            dr = jnp.einsum("sh,hb->sb", d, upd_r, precision=prec)
+            di = jnp.einsum("sh,hb->sb", d, upd_i, precision=prec)
+            tr = fr + dr
+            ti = fi + di
+            return tr * rot_r - ti * rot_i, tr * rot_i + ti * rot_r
+
+        def exact_col0(_):
+            spec = rfft_mxu(fb.slice(info, 0, n), n)
+            return jnp.real(spec), jnp.imag(spec)
+
+        fr, fi = sdft["re"], sdft["im"]
+        f0 = slide(fr, fi, 0)
+        f0r, f0i = jax.lax.cond(refresh, exact_col0, lambda _: f0, None)
+
+        cols = []
+        cur_r, cur_i = fr, fi
+        for k in range(fb.cols_cap):
+            nxt_r, nxt_i = (f0r, f0i) if k == 0 else slide(cur_r, cur_i, k)
+            emit = jnp.int32(k) < ready
+            cur_r = jnp.where(emit, nxt_r, cur_r)
+            cur_i = jnp.where(emit, nxt_i, cur_i)
+            wr, wi = self._apply_window_freq(cur_r, cur_i)
+            mean = cur_r[..., 0:1] / n
+            wr = wr - mean * dc_corr
+            cols.append(wr * wr + wi * wi)
+
+        new_sdft = {
+            "re": cur_r,
+            "im": cur_i,
+            "count": count + 1,
+            "anchored": sdft["anchored"] | refresh,
+        }
+        return new_sdft, jnp.stack(cols, axis=1)
