@@ -125,8 +125,8 @@ def build_full_engine(n_streams_hint: int = 1024):
 def main():
     if os.environ.get("OPENMETERS_BENCH_FULL"):
         eng = build_full_engine()
-        for n in (512, 1024, 2048):
-            r = measure(eng, n)
+        for n in (1024,):
+            r = measure(eng, n, iters=8)
             print(
                 f"# full-suite S={r['n_streams']}: {r['step_ms']:.2f} ms/step, "
                 f"{r['streams_realtime']:.0f} streams realtime",
