@@ -280,6 +280,42 @@ def resample_trace(window: np.ndarray, span: float, frac: float = 0.0,
     return np.where((pos >= 0) & (pos <= last), out, 0.0).astype(np.float32)
 
 
+class WaveformHistory:
+    """Host-side waveform column ring (waveform/state.rs + processor's
+    ``max_columns`` retention, processor.rs:11,189-197,291-296): keeps the
+    newest ``max_columns`` (min, max, color, rms) column records per stream
+    for scroll rendering; resizing keeps the newest suffix."""
+
+    MAX_COLUMN_CAPACITY = 8192  # reference processor.rs:11
+
+    def __init__(self, max_columns: int = MAX_COLUMN_CAPACITY):
+        self.max_columns = min(max(max_columns, 1), self.MAX_COLUMN_CAPACITY)
+        self.columns: list[dict] = []
+
+    def push_snapshot(self, snapshot, stream: int = 0) -> int:
+        """Append the valid columns of one WaveformSnapshot; returns count."""
+        valid = np.asarray(snapshot.col_valid)[stream]
+        count = 0
+        for k in np.nonzero(valid)[0]:
+            self.columns.append(
+                {
+                    "min": np.asarray(snapshot.col_min)[stream, k],
+                    "max": np.asarray(snapshot.col_max)[stream, k],
+                    "color": np.asarray(snapshot.col_color)[stream, k],
+                    "rms_db": np.asarray(snapshot.col_rms_db)[stream, k],
+                }
+            )
+            count += 1
+        if len(self.columns) > self.max_columns:
+            del self.columns[: len(self.columns) - self.max_columns]
+        return count
+
+    def resize(self, max_columns: int) -> None:
+        self.max_columns = min(max(max_columns, 1), self.MAX_COLUMN_CAPACITY)
+        if len(self.columns) > self.max_columns:
+            del self.columns[: len(self.columns) - self.max_columns]
+
+
 class SpectrogramHistory:
     """Host-side column ring mirror (spectrogram/state.rs:53-175): retains the
     most recent ``columns`` packed-u16 classic columns for renderers, resizing

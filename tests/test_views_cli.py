@@ -149,3 +149,24 @@ def test_cli_selftest_and_analyze(tmp_path, capsys):
     settings = tmp_path / "s.json"
     assert main(["settings", "--init", str(settings)]) == 0
     assert settings.exists()
+
+
+def test_waveform_history_ring():
+    from openmeters_tpu.analyzers.waveform import WaveformAnalyzer, WaveformConfig
+    from openmeters_tpu.views import WaveformHistory
+
+    cfg = WaveformConfig(
+        sample_rate=4.0, scroll_speed=2.0, analyze_bands=False, block_frames=4
+    )
+    ana = WaveformAnalyzer(cfg)
+    carry = ana.init(1)
+    hist = WaveformHistory(max_columns=3)
+    for i in range(4):
+        carry, snap = ana.step(
+            carry, np.full((1, 4, 2), float(i), np.float32)
+        )
+        hist.push_snapshot(snap)
+    assert len(hist.columns) == 3  # capped
+    assert hist.columns[-1]["max"][0] == 3.0
+    hist.resize(1)
+    assert len(hist.columns) == 1 and hist.columns[0]["max"][0] == 3.0
