@@ -17,7 +17,6 @@ from __future__ import annotations
 import dataclasses
 import math
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,20 +93,13 @@ class TruePeakKernel:
         d = self.delay
         taps = polyphase_taps(self.factor)
         xx = jnp.concatenate([carry, x], axis=0)  # [T + D - 1, lanes...]
-        # y_p[n] = sum_i x[n - i] * taps[i, p] as one TPU convolution over the
-        # time axis (kernel = taps reversed; lax conv is correlation).
-        lanes = x.shape[1:]
-        m = 1
-        for s in lanes:
-            m *= s
-        lhs = xx.reshape(t + d - 1, m).T.reshape(m, 1, t + d - 1)
-        rhs = np.ascontiguousarray(taps[::-1].T)[:, None, :]  # [phases, 1, D]
-        y = jax.lax.conv_general_dilated(
-            lhs, jnp.asarray(rhs), (1,), "VALID",
-            dimension_numbers=("NCW", "OIW", "NCW"),
-            precision=jax.lax.Precision.HIGH,
-        )  # [m, phases, T]
-        interp_peak = jnp.max(jnp.abs(y), axis=(1, 2)).reshape(lanes)
+        # y_p[n] = sum_i x[n - i] * taps[i, p]; x[n - i] == xx[D - 1 + n - i].
+        interp_peak = jnp.zeros_like(sample_peak)
+        for p in range(taps.shape[1]):
+            y = jnp.zeros_like(x)
+            for i in range(d):
+                y = y + taps[i, p] * jax_slice(xx, d - 1 - i, t)
+            interp_peak = jnp.maximum(interp_peak, jnp.max(jnp.abs(y), axis=0))
         return xx[t:], jnp.maximum(sample_peak, interp_peak)
 
 

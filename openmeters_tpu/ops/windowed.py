@@ -12,25 +12,20 @@ ring of **per-block sums** plus, per window, a ring of **suffix sums of the
 last ``W mod B`` samples** of each block.  A trailing window of ``W`` samples
 ending on a block boundary is then ``q = W // B`` whole-block sums plus one
 stored suffix — recomputed fresh from the ring on every query, so there is
-*zero* accumulation drift (stronger than Kahan), in float32.
+*zero* accumulation drift (stronger than Kahan), in float32, at a few hundred
+FLOPs per lane.
 
-Query cost engineering: all windows' whole-block sums come from ONE
-``[K, lanes] x [K, n_windows]`` matmul (the mask matrix is tiny and data-
-independent given the ring head), and each window's suffix is one dynamic-
-slice ring read — no full-ring elementwise masking.  Ring lanes are zeroed
-on reset so the mask matrix needs no per-lane terms; warmup correctness
-comes from zero-initialized rings plus the per-lane sample counter that
-drives the mean divisor ``clamp(count, 1, W)`` (the reference's
-``with_leading_zeros`` lazy-silence seeding reduces to the same counter).
+Warmup and the reference's lazy-silence seeding (``with_leading_zeros``,
+dsp.rs:359-365) reduce to a per-lane ``blocks`` counter: the mean divisor is
+``clamp(blocks * B, 1, W)`` and ring slots older than the counter are masked
+out, which also makes per-lane resets free (no ring zeroing).
 """
 
 from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,18 +65,15 @@ class BlockWindowedMeans:
 
         Non-finite values are sanitized to 0 (reference dsp.rs:324-333).
         ``reset_mask`` (``[lanes...]`` bool) restarts those lanes' windows as
-        if freshly constructed (their ring lanes are zeroed).
+        if freshly constructed.
         """
         b = self.block_frames
         assert values.shape[0] == b
         values = jnp.where(jnp.isfinite(values), values, 0.0).astype(self.dtype)
 
-        totals, suffix = carry["totals"], carry["suffix"]
         blocks = carry["blocks"]
         if reset_mask is not None:
             blocks = jnp.where(reset_mask, 0, blocks)
-            totals = jnp.where(reset_mask[None], 0.0, totals)
-            suffix = jnp.where(reset_mask[None, None], 0.0, suffix)
 
         slot = carry["head"] % self.ring_blocks
         total = jnp.sum(values, axis=0)
@@ -92,8 +84,8 @@ class BlockWindowedMeans:
             ]
         )
         return {
-            "totals": totals.at[slot].set(total),
-            "suffix": suffix.at[:, slot].set(suffixes),
+            "totals": carry["totals"].at[slot].set(total),
+            "suffix": carry["suffix"].at[:, slot].set(suffixes),
             "head": carry["head"] + 1,
             "blocks": jnp.minimum(blocks + 1, jnp.int32(2**30)),
         }
@@ -106,37 +98,25 @@ class BlockWindowedMeans:
         """
         k = self.ring_blocks
         b = self.block_frames
-        lane_shape = carry["blocks"].shape
-        lanes = int(np.prod(lane_shape)) if lane_shape else 1
-        qr = self._qr
-        nw = len(qr)
-
-        # age of slot s: how many pushes ago it was written (0 = newest)
-        ages = (carry["head"] - 1 - jnp.arange(k, dtype=jnp.int32)) % k  # [K]
-        qs = np.array([q for q, _ in qr], np.int32)
-        mask = (ages[:, None] < qs[None, :]).astype(self.dtype)  # [K, nw]
-
-        flat = carry["totals"].reshape(k, lanes)
-        sums = jnp.einsum(
-            "kl,kw->wl", flat, mask, precision=jax.lax.Precision.HIGH
-        )  # [nw, lanes]
+        lane_nd = carry["blocks"].ndim
+        # age of slot s: how many pushes ago it was written (0 = newest).
+        ages = (carry["head"] - 1 - jnp.arange(k, dtype=jnp.int32)) % k
+        ages = ages.reshape((k,) + (1,) * lane_nd)
+        blocks = carry["blocks"][None]  # [1, lanes...]
 
         out = []
-        suffix_flat = carry["suffix"].reshape(nw, k, lanes)
-        for w_idx, (q, r) in enumerate(qr):
-            total = sums[w_idx]
+        for w_idx, (q, r) in enumerate(self._qr):
+            full = (ages < q) & (ages < blocks)
+            total = jnp.sum(jnp.where(full, carry["totals"], 0.0), axis=0)
             if r > 0:
-                # the suffix lives in the slot with age exactly q
-                slot = (carry["head"] - 1 - q) % k
-                sfx = jax.lax.dynamic_slice(
-                    suffix_flat[w_idx], (slot, jnp.int32(0)), (1, lanes)
-                )[0]
-                take = (carry["blocks"].reshape(lanes) > q).astype(self.dtype)
-                total = total + sfx * take
+                pick = (ages == q) & (blocks > q)
+                total = total + jnp.sum(
+                    jnp.where(pick, carry["suffix"][w_idx], 0.0), axis=0
+                )
             count = jnp.clip(
-                carry["blocks"].reshape(lanes).astype(self.dtype) * b,
+                carry["blocks"].astype(self.dtype) * b,
                 1.0,
                 float(max(self.window_lengths[w_idx], 1)),
             )
-            out.append((total / count).reshape(lane_shape))
+            out.append(total / count)
         return jnp.stack(out)
