@@ -228,3 +228,29 @@ def test_multi_stream_columns_independent():
     bin_hz = cfg.sample_rate / cfg.fft_size
     assert abs(np.argmax(codes[0, k]) * bin_hz - f1) <= bin_hz
     assert abs(np.argmax(codes[1, k]) * bin_hz - f2) <= bin_hz
+
+
+def test_sliding_dft_drift_over_long_stream(rng):
+    """Long-run soak: the sliding-DFT path must track the offline golden
+    within one u16 code (0.0024 dB) across many re-anchor cycles."""
+    cfg = SpectrogramConfig(
+        fft_size=256, hop_size=64, use_reassignment=False, block_frames=256
+    )
+    ana = SpectrogramAnalyzer(cfg)
+    assert ana.use_sliding
+    t = np.arange(48_000, dtype=np.float64)
+    signal = (
+        0.5 * np.sin(2 * np.pi * 997.0 * t / 48_000.0)
+        + 0.2 * np.sin(2 * np.pi * 147.2 * t / 48_000.0)
+        + 0.05 * rng.standard_normal(len(t))
+    ).astype(np.float32)
+    signal = signal[: len(signal) // cfg.block_frames * cfg.block_frames]
+    cols = run(ana, signal)
+    ref = classic_golden_columns(signal, cfg)
+    assert len(cols) == len(ref)
+    worst = 0.0
+    for got, want in zip(cols, ref):
+        got_db = unpack_classic_db(got["codes"][0])
+        mask = want > -110.0
+        worst = max(worst, float(np.max(np.abs(got_db[mask] - want[mask]))))
+    assert worst < 0.02, f"worst dB error {worst}"
