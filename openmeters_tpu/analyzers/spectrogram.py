@@ -281,13 +281,14 @@ class SpectrogramAnalyzer:
         ar = ar[..., center : center + n]
         ai = ai[..., center : center + n]
 
-        def windowed_fft(win):
-            fr, fi = fft_mxu(ar * win, ai * win, pfft)
-            return fr[..., :bins], fi[..., :bins]
-
-        br, bi = windowed_fft(w)
-        dr, di = windowed_fft(dw)
-        tr, ti = windowed_fft(tw)
+        # the three windowed analysis FFTs (h, dh/dt, t*h) share one input
+        # frame: stack them into a single batched transform
+        wins = np.stack([w, dw, tw])[:, None, None, :]  # [3, 1, 1, n]
+        fr, fi = fft_mxu(ar[None] * wins, ai[None] * wins, pfft)
+        fr, fi = fr[..., :bins], fi[..., :bins]
+        br, bi = fr[0], fi[0]
+        dr, di = fr[1], fi[1]
+        tr, ti = fr[2], fi[2]
 
         pow_raw = br * br + bi * bi
         scaled_power = pow_raw * norm
