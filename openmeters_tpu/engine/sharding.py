@@ -22,8 +22,21 @@ STREAM_AXIS = "streams"
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D stream-parallel mesh over ``n_devices`` (default: all available).
+
+    Raises when fewer than ``n_devices`` devices exist — silently truncating
+    would make an "8-way" run a 1-way run without anyone noticing.
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available "
+                f"(platform={devices[0].platform}); for a virtual mesh set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+                "JAX_PLATFORMS=cpu before JAX initializes"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (STREAM_AXIS,))
 
