@@ -36,10 +36,12 @@ def _flatten(carry):
 def save_state(path: str, engine, carry) -> None:
     paths, leaves, _ = _flatten(carry)
     arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
-    arrays["__meta__"] = np.frombuffer(
-        json.dumps({"fingerprint": _config_fingerprint(engine), "paths": paths}).encode(),
-        np.uint8,
-    )
+    meta = {
+        "fingerprint": _config_fingerprint(engine),
+        "paths": paths,
+        "n_streams": _infer_streams(engine, leaves),
+    }
+    arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
     np.savez_compressed(path, **arrays)
 
 
@@ -52,7 +54,11 @@ def load_state(path: str, engine):
                 "checkpoint was written by a different engine config "
                 f"({meta['fingerprint']} != {_config_fingerprint(engine)})"
             )
-        template = engine.init(_infer_streams(z, meta))
+        n_streams = meta.get("n_streams")
+        if n_streams is None:  # pre-r2 checkpoint: infer from the leaves
+            loaded_leaves = [z[f"leaf_{i}"] for i in range(len(meta["paths"]))]
+            n_streams = _infer_streams(engine, loaded_leaves)
+        template = engine.init(n_streams)
         paths, leaves, treedef = _flatten(template)
         if paths != meta["paths"]:
             raise ValueError("checkpoint structure mismatch")
@@ -63,10 +69,17 @@ def load_state(path: str, engine):
     return jax.tree.unflatten(treedef, [np.asarray(v) for v in loaded])
 
 
-def _infer_streams(z, meta) -> int:
-    # loudness blocks or any [S]-leading leaf: use the first 1-D int leaf
-    for i in range(len(meta["paths"])):
-        arr = z[f"leaf_{i}"]
-        if arr.ndim == 1 and arr.dtype in (np.int32, np.bool_):
-            return arr.shape[0]
+def _infer_streams(engine, leaves) -> int:
+    """Recover the stream count from carry leaf shapes.
+
+    Robust to dict order and config shape: compare ``engine.init(1)`` vs
+    ``engine.init(2)`` — any axis whose size grows by exactly 1 is the
+    stream axis, and the same leaf/axis in ``leaves`` gives the count.
+    """
+    t1 = jax.tree.leaves(engine.init(1))
+    t2 = jax.tree.leaves(engine.init(2))
+    for a, b, got in zip(t1, t2, leaves):
+        for ax, (d1, d2) in enumerate(zip(np.shape(a), np.shape(b))):
+            if d2 - d1 == 1:
+                return int(np.shape(got)[ax])
     raise ValueError("cannot infer stream count from checkpoint")

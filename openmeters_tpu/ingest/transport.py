@@ -24,7 +24,7 @@ def _build() -> pathlib.Path:
         if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
             return _LIB
         cmd = [
-            "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
             "-o", str(_LIB), str(_SRC),
         ]
         subprocess.run(cmd, check=True, capture_output=True)
@@ -61,8 +61,22 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.om_assemble_range.restype = ctypes.c_int32
+    lib.om_assemble_range.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+    ]
+    lib.om_set_active.argtypes = [ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32]
+    lib.om_is_active.restype = ctypes.c_uint32
+    lib.om_is_active.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
     lib.om_buffered_frames.restype = ctypes.c_uint64
     lib.om_buffered_frames.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.om_backlog_blocks.restype = ctypes.c_uint32
+    lib.om_backlog_blocks.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -127,6 +141,15 @@ class Transport:
     def push_fault(self, stream: int) -> None:
         self._lib.om_push_fault(self._h, stream)
 
+    def set_active(self, stream: int, active: bool) -> None:
+        """Pause/resume a stream (activity epochs, transport.rs:668-704).
+        While paused the producer path drops input; resuming discards any
+        stale backlog and emits one reset on the next assemble."""
+        self._lib.om_set_active(self._h, stream, 1 if active else 0)
+
+    def is_active(self, stream: int) -> bool:
+        return bool(self._lib.om_is_active(self._h, stream))
+
     def set_generation(self, stream: int, generation: int) -> None:
         self._lib.om_set_generation(self._h, stream, generation)
 
@@ -136,18 +159,38 @@ class Transport:
     def buffered_frames(self, stream: int) -> int:
         return self._lib.om_buffered_frames(self._h, stream)
 
-    def assemble(self):
+    def assemble(self, pool=None, shards: int = 1):
         """Drain one hop: returns (batch [S,B,C] f32, reset [S] bool,
-        underrun [S] bool, n_live)."""
-        n_live = self._lib.om_assemble(
-            self._h,
-            self._batch.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            self._reset.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            self._underrun.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        )
+        underrun [S] bool, n_live).
+
+        With ``pool`` (a ``concurrent.futures.ThreadPoolExecutor``) and
+        ``shards > 1``, disjoint stream ranges are assembled concurrently —
+        ctypes releases the GIL for the duration of each native call, so
+        this scales the host assembler across cores for large stream counts.
+        """
+        out = self._batch.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        rst = self._reset.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        und = self._underrun.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        if pool is None or shards <= 1:
+            n_live = self._lib.om_assemble(self._h, out, rst, und)
+        else:
+            step = -(-self.n_streams // shards)
+            futs = [
+                pool.submit(
+                    self._lib.om_assemble_range, self._h, out, rst, und,
+                    lo, min(lo + step, self.n_streams),
+                )
+                for lo in range(0, self.n_streams, step)
+            ]
+            n_live = sum(f.result() for f in futs)
         return (
             self._batch,
             self._reset.astype(bool),
             self._underrun.astype(bool),
             n_live,
         )
+
+    def backlog_blocks(self) -> int:
+        """Max whole blocks buffered over all streams — the serving loop
+        runs this many extra catch-up hops (coalescing, meter.rs:15-80)."""
+        return self._lib.om_backlog_blocks(self._h)

@@ -19,6 +19,7 @@ def read_wav(path: str) -> tuple[np.ndarray, float]:
         if riff != b"RIFF" or wave_tag != b"WAVE":
             raise ValueError(f"{path}: not a RIFF/WAVE file")
         fmt = None
+        fmt_payload = b""
         data = None
         while True:
             hdr = f.read(8)
@@ -30,13 +31,18 @@ def read_wav(path: str) -> tuple[np.ndarray, float]:
                 f.read(1)
             if tag == b"fmt ":
                 fmt = struct.unpack("<HHIIHH", payload[:16])
+                fmt_payload = payload  # keep full chunk for the extensible subformat
             elif tag == b"data":
                 data = payload
         if fmt is None or data is None:
             raise ValueError(f"{path}: missing fmt/data chunk")
         audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
-        if audio_format == 0xFFFE and len(payload) >= 24:  # extensible
-            audio_format = struct.unpack("<H", payload[24:26])[0] if len(payload) >= 26 else 1
+        if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat GUID's
+            # first two bytes (at offset 24 of the fmt chunk) are the real tag
+            if len(fmt_payload) >= 26:
+                audio_format = struct.unpack("<H", fmt_payload[24:26])[0]
+            else:
+                raise ValueError(f"{path}: truncated extensible fmt chunk")
         if audio_format == 3 and bits == 32:
             x = np.frombuffer(data, "<f4").astype(np.float32)
         elif audio_format == 1 and bits == 16:

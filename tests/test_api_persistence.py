@@ -29,6 +29,30 @@ def test_wav_roundtrip(tmp_path):
     np.testing.assert_allclose(y, x, atol=0)
 
 
+def test_wav_extensible_format(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE (standard for >2-channel files): the subformat
+    GUID lives in the fmt chunk, not whatever chunk was read last."""
+    import struct
+
+    x = np.stack([sine_wave(440.0, 48_000.0, 480, 0.4)] * 4, axis=-1)
+    data = x.astype("<f4").tobytes()
+    # fmt chunk: 40 bytes — extensible header + cbSize=22 + subformat GUID 3
+    sub_ieee_float = struct.pack("<H", 3) + b"\x00\x00" + bytes(
+        [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+    )
+    fmt = struct.pack(
+        "<HHIIHHHHI", 0xFFFE, 4, 48_000, 48_000 * 16, 16, 32, 22, 32, 0xF
+    ) + sub_ieee_float
+    p = tmp_path / "ext.wav"
+    with open(p, "wb") as f:
+        f.write(struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE"))
+        f.write(struct.pack("<4sI", b"fmt ", len(fmt)) + fmt)
+        f.write(struct.pack("<4sI", b"data", len(data)) + data)
+    y, rate = read_wav(str(p))
+    assert rate == 48_000.0 and y.shape == (480, 4)
+    np.testing.assert_allclose(y, x, atol=0)
+
+
 def test_analyze_wav_end_to_end(tmp_path):
     """BASELINE config 1: a stereo WAV through spectrogram + loudness."""
     from openmeters_tpu.api import analyze_wav

@@ -141,6 +141,83 @@ def test_feeds_engine_end_to_end():
     assert float(snaps["loudness"].momentary_lufs[1]) < -90
 
 
+def test_pause_resume_activity_epoch(tp):
+    """transport.rs:668-704 / meter.rs:126-142: pause gates at the producer;
+    resume discards stale backlog and emits exactly one reset."""
+    tp.push_pcm(0, frames_of(256), 0)
+    tp.assemble()  # consume initial generation reset
+    tp.set_active(0, False)
+    assert not tp.is_active(0)
+    assert tp.push_pcm(0, frames_of(256, 0.9), ns_of(256)) == 1  # dropped
+    batch, reset, underrun, _ = tp.assemble()
+    assert underrun[0] and np.all(batch[0] == 0.0)
+    tp.set_active(0, True)
+    tp.push_pcm(0, frames_of(256, 0.25), ns_of(512))
+    batch, reset, _, _ = tp.assemble()
+    assert reset[0]  # one reset on resume
+    assert np.all(batch[0] == 0.25)  # fresh PCM, stale 0.9 never delivered
+    _, reset, _, _ = tp.assemble()
+    assert not reset[0]
+
+
+def test_generation_change_mid_block_is_boundary_clean(tp):
+    """A format change splits the hop: no old-generation PCM is ever
+    delivered after its reset (reference resets exactly at the boundary)."""
+    tp.push_pcm(0, frames_of(128, 0.5), 0)
+    tp.set_generation(0, 2)
+    tp.push_pcm(0, frames_of(256, 0.25), ns_of(128))
+    b1, r1, u1, _ = tp.assemble()
+    assert r1[0]  # initial generation-1 reset
+    np.testing.assert_allclose(b1[0, :128], 0.5)
+    np.testing.assert_allclose(b1[0, 128:], 0.0)  # boundary pad, not gen-2 PCM
+    assert not u1[0]
+    b2, r2, _, _ = tp.assemble()
+    assert r2[0]  # generation-2 reset lands on its own clean hop
+    np.testing.assert_allclose(b2[0], 0.25)
+
+
+def test_idle_watchdog_resets_once():
+    """Hop-cadence idle watchdog: a stalled stream synthesizes silence and
+    resets exactly once after max_silence (transport.rs:32-37,506-528 +
+    meter.rs:145-166), then stays dormant until data returns."""
+    tp = Transport(
+        n_streams=1, channels=2, block_frames=256, sample_rate=RATE,
+        max_silence_seconds=0.02,  # 960 frames -> ~4 idle hops
+    )
+    tp.push_pcm(0, frames_of(256), 0)
+    tp.assemble()
+    resets = []
+    for _ in range(12):
+        _, reset, underrun, _ = tp.assemble()
+        assert underrun[0]
+        resets.append(bool(reset[0]))
+    assert sum(resets) == 1  # exactly one watchdog reset
+    # data returning clears dormancy (timestamp far ahead: gap is clamped)
+    tp.push_pcm(0, frames_of(256, 0.7), ns_of(10_000))
+    seen = False
+    for _ in range(8):  # drain the clamped silence gap, then the PCM
+        batch, _, _, live = tp.assemble()
+        if live and np.all(batch[0] == 0.7):
+            seen = True
+            break
+    assert seen
+
+
+def test_sharded_assemble_matches_single():
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = 8
+    tp = Transport(n_streams=n, channels=2, block_frames=256, sample_rate=RATE)
+    for s in range(n):
+        tp.push_pcm(s, frames_of(512, (s + 1) / 10), 0)
+    with ThreadPoolExecutor(4) as pool:
+        batch, reset, underrun, live = tp.assemble(pool=pool, shards=4)
+    assert live == n
+    for s in range(n):
+        assert np.all(batch[s] == (s + 1) / 10)
+    assert tp.backlog_blocks() == 1  # 256 frames left per stream
+
+
 def test_threaded_producers_and_assembler():
     """Genuinely concurrent SPSC use: one producer thread per stream pushing
     timed PCM while the main thread assembles — no locks, no losses, no

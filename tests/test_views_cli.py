@@ -129,6 +129,30 @@ def test_checkpoint_roundtrip(tmp_path):
         load_state(str(p), other)
 
 
+def test_checkpoint_loudness_only(tmp_path):
+    """A loudness-only engine has no 1-D int carry leaf; n_streams now rides
+    in the checkpoint metadata so this config restores too."""
+    from openmeters_tpu.checkpoint import load_state, save_state
+    from openmeters_tpu.engine import EngineConfig, MeterEngine, StreamMeta
+
+    eng = MeterEngine(EngineConfig(spectrogram=None, spectrum=None))
+    carry = eng.init(3)
+    meta = StreamMeta.default(3)
+    block = np.zeros((3, 256, 8), np.float32)
+    block[:, :, 0] = 0.25
+    carry, _ = eng.step(carry, block, meta)
+
+    p = tmp_path / "loudness.npz"
+    save_state(str(p), eng, carry)
+    restored = load_state(str(p), eng)
+    _, s1 = eng.step(carry, block, meta)
+    _, s2 = eng.step(restored, block, meta)
+    np.testing.assert_array_equal(
+        np.asarray(s1["loudness"].momentary_lufs),
+        np.asarray(s2["loudness"].momentary_lufs),
+    )
+
+
 def test_cli_selftest_and_analyze(tmp_path, capsys):
     from openmeters_tpu.__main__ import main
     from openmeters_tpu.io.wav import write_wav
