@@ -56,13 +56,17 @@ def window_length(sample_rate: float, seconds: float) -> int:
 
 
 class LoudnessSnapshot(NamedTuple):
-    """Batched analogue of ``LoudnessSnapshot`` (processor.rs:185-194)."""
+    """Batched analogue of ``LoudnessSnapshot`` (processor.rs:185-194), plus
+    gated integration (BS.1770-5 §3 / EBU R128 — absent from the reference,
+    demanded by BASELINE.json's north star)."""
 
     short_term_lufs: jnp.ndarray  # [S]
     momentary_lufs: jnp.ndarray  # [S]
     rms_fast_db: jnp.ndarray  # [S, C]
     rms_slow_db: jnp.ndarray  # [S, C]
     true_peak_db: jnp.ndarray  # [S, C]
+    integrated_lufs: jnp.ndarray  # [S] gated (−70 abs, −10 rel)
+    lra_lu: jnp.ndarray  # [S] EBU Tech 3342 loudness range
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,6 +75,7 @@ class LoudnessConfig:
     floor_db: float = DEFAULT_FLOOR_DB
     block_frames: int = 256
     channels: int = MAX_AUDIO_CHANNELS
+    gating: bool = True  # integrated loudness + LRA state
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,13 +102,27 @@ class LoudnessAnalyzer:
     def _truepeak(self) -> TruePeakKernel:
         return TruePeakKernel(self.config.sample_rate)
 
+    @property
+    def _gate(self):
+        from openmeters_tpu.ops.gating import GatedLoudness
+
+        cfg = self.config
+        return GatedLoudness(
+            sample_rate=cfg.sample_rate,
+            block_frames=cfg.block_frames,
+            floor_db=cfg.floor_db,
+        )
+
     def init(self, n_streams: int) -> dict:
         c = self.config.channels
-        return {
+        out = {
             "kw": jnp.zeros((4, n_streams, c), jnp.float32),
             "wm": self._windows.init((n_streams, c)),
             "tp": self._truepeak.init((n_streams, c)),
         }
+        if self.config.gating:
+            out["gate"] = self._gate.init(n_streams)
+        return out
 
     @functools.partial(jax.jit, static_argnums=0)
     def step(self, carry: dict, block, channel_weights, reset_mask=None):
@@ -167,11 +186,27 @@ class LoudnessAnalyzer:
             floor,
         )
 
+        new_carry = {"kw": kw_state, "wm": wm_carry, "tp": tp_carry}
+        if cfg.gating:
+            # weighted K-squared samples summed over channels: [S, B]
+            wk2 = jnp.einsum(
+                "bsc,sc->sb", filtered * filtered, channel_weights.astype(jnp.float32)
+            )
+            gate_carry = self._gate.push_block(carry["gate"], wk2, reset_mask)
+            new_carry["gate"] = gate_carry
+            integrated = gate_carry["integrated"]
+            lra = gate_carry["lra"]
+        else:
+            integrated = jnp.full((s,), floor, jnp.float32)
+            lra = jnp.zeros((s,), jnp.float32)
+
         snapshot = LoudnessSnapshot(
             short_term_lufs=lufs[0],
             momentary_lufs=lufs[1],
             rms_fast_db=power_to_db(means[2], floor),
             rms_slow_db=power_to_db(means[3], floor),
             true_peak_db=power_to_db(peak * peak, floor),
+            integrated_lufs=integrated,
+            lra_lu=lra,
         )
-        return {"kw": kw_state, "wm": wm_carry, "tp": tp_carry}, snapshot
+        return new_carry, snapshot

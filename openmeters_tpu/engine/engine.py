@@ -216,9 +216,8 @@ class MeterEngine:
         from jax.sharding import PartitionSpec as P
 
         def loudness_specs():
-            wl = self.analyzers["loudness"]._windows  # noqa: SLF001
-            del wl
-            return {
+            analyzer = self.analyzers["loudness"]
+            out = {
                 "kw": P(None, axis, None),
                 "wm": {
                     "totals": P(None, axis, None),
@@ -228,6 +227,9 @@ class MeterEngine:
                 },
                 "tp": P(None, axis, None),
             }
+            if analyzer.config.gating:
+                out["gate"] = analyzer._gate.pspecs(axis)  # noqa: SLF001
+            return out
 
         def fb_specs():
             return {"buf": P(axis, None), "avail": P(), "fresh": P(axis)}
