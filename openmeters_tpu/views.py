@@ -352,3 +352,249 @@ class SpectrogramHistory:
     def view(self) -> np.ndarray:
         """Newest-last [filled, bins] view."""
         return self.data[len(self.data) - self.filled :]
+
+
+# --- spectrum display mapping (spectrum/state.rs) ---------------------------
+
+SPECTRUM_MIN_FREQUENCY = 20.0  # spectrum/state.rs:21
+SPECTRUM_MAX_DB = 0.0  # spectrum/state.rs:22
+_EPS = 1e-6
+
+
+def fmt_freq(f: float) -> str:
+    """Reference util/audio/format.rs:4-11."""
+    if f >= 10_000.0:
+        return f"{f / 1000.0:.1f}kHz"
+    if f >= 1_000.0:
+        return f"{f / 1000.0:.2f}kHz"
+    if f >= 100.0:
+        return f"{f:.1f}Hz"
+    return f"{f:.2f}Hz"
+
+
+def spectrum_value_at(bins: np.ndarray, db: np.ndarray, f: float) -> np.ndarray:
+    """Linear interpolation of (possibly batched ``[..., NB]``) trace dB at
+    frequency ``f`` (spectrum/state.rs:310-319)."""
+    bins = np.asarray(bins, np.float32)
+    db = np.asarray(db, np.float32)
+    i = int(np.searchsorted(bins, f, side="left"))
+    if i == 0:
+        return db[..., 0]
+    if i >= len(bins):
+        return db[..., -1]
+    t = (f - bins[i - 1]) / max(bins[i] - bins[i - 1], _EPS)
+    return db[..., i - 1] * (1.0 - t) + db[..., i] * t
+
+
+def spectrum_x_cache(
+    bins: np.ndarray, scale, min_f: float = SPECTRUM_MIN_FREQUENCY,
+    max_f: float | None = None,
+):
+    """Display x positions for [min_f] + interior bins + [max_f]
+    (``ensure_x_cache``, spectrum/state.rs:146-159).
+
+    Returns ``(freqs [P], x [P], interior_index [P])`` where interior_index
+    is the source bin index (endpoints use interpolation via
+    :func:`spectrum_value_at`, marked -1).
+    """
+    bins = np.asarray(bins, np.float32)
+    if max_f is None:
+        max_f = float(max(bins[-1], min_f * 1.02))
+    inside = (bins > min_f) & (bins < max_f)
+    freqs = np.concatenate([[min_f], bins[inside], [max_f]]).astype(np.float32)
+    idx = np.concatenate(
+        [[-1], np.nonzero(inside)[0].astype(np.int64), [-1]]
+    )
+    x = np.clip(scale.pos_of(min_f, max_f, freqs), 0.0, 1.0)
+    x = np.where(np.isfinite(x), x, 0.0).astype(np.float32)
+    return freqs, x, idx
+
+
+def spectrum_points(
+    db: np.ndarray, bins: np.ndarray, scale, floor_db: float,
+    min_f: float = SPECTRUM_MIN_FREQUENCY, max_f: float | None = None,
+    reverse: bool = False,
+):
+    """Normalized trace points (``build_single_points_into``,
+    spectrum/state.rs:433-464), batched: ``db [..., NB]`` ->
+    ``(points [..., P, 2], valid [..., P])``.  Non-finite magnitudes are
+    masked out rather than dropped (fixed shapes)."""
+    bins = np.asarray(bins, np.float32)
+    db = np.asarray(db, np.float32)
+    if max_f is None:
+        max_f = float(max(bins[-1], min_f * 1.02))
+    freqs, x, idx = spectrum_x_cache(bins, scale, min_f, max_f)
+    lead = db.shape[:-1]
+    mags = np.empty((*lead, len(freqs)), np.float32)
+    mags[..., 0] = spectrum_value_at(bins, db, min_f)
+    mags[..., -1] = spectrum_value_at(bins, db, max_f)
+    if len(freqs) > 2:
+        mags[..., 1:-1] = db[..., idx[1:-1]]
+    dr = max(SPECTRUM_MAX_DB - floor_db, _EPS)
+    y = (mags - floor_db) / dr
+    valid = np.isfinite(y)
+    y = np.clip(np.where(valid, y, 0.0), 0.0, 1.0)
+    xs = 1.0 - x if reverse else x
+    pts = np.stack([np.broadcast_to(xs, y.shape), y], axis=-1).astype(np.float32)
+    if reverse:
+        pts = pts[..., ::-1, :]
+        valid = valid[..., ::-1]
+    return pts, valid
+
+
+def spectrum_rebin_display(
+    db: np.ndarray, bins: np.ndarray, scale, n_out: int,
+    min_f: float = SPECTRUM_MIN_FREQUENCY, max_f: float | None = None,
+    mode: str = "max",
+):
+    """ERB/log/linear display rebinning (BASELINE config 3): resample
+    ``db [..., NB]`` onto ``n_out`` uniform display cells of ``scale``.
+
+    ``mode="sample"`` is a pure batched gather — linear interpolation at
+    each cell center exactly like the reference's per-pixel ``value_at``
+    sampling; indices/weights depend only on (bins, scale, n_out) and the
+    expression works on numpy or jax arrays.
+
+    ``mode="max"`` (default) additionally max-pools every cell over the FFT
+    bins whose display position falls inside it, so narrow peaks survive
+    coarse cells the way the reference's line rasterization keeps them
+    visible; cells narrower than a bin (zoom-in) fall back to the
+    interpolated sample.  Host-side numpy (uses ``maximum.reduceat``).
+    """
+    bins = np.asarray(bins, np.float32)
+    if max_f is None:
+        max_f = float(max(bins[-1], min_f * 1.02))
+    t = (np.arange(n_out, dtype=np.float32) + 0.5) / n_out
+    f = np.asarray(scale.freq_at(min_f, max_f, t), np.float32)
+    i1 = np.clip(np.searchsorted(bins, f, side="left"), 1, len(bins) - 1)
+    i0 = i1 - 1
+    w = (f - bins[i0]) / np.maximum(bins[i1] - bins[i0], _EPS)
+    w = np.clip(w, 0.0, 1.0).astype(np.float32)
+    point = db[..., i0] * (1.0 - w) + db[..., i1] * w
+    if mode == "sample":
+        return point
+
+    db = np.asarray(db, np.float32)
+    xb = np.clip(np.asarray(scale.pos_of(min_f, max_f, bins), np.float32), 0.0, 1.0)
+    lo = np.searchsorted(xb, np.arange(n_out, dtype=np.float32) / n_out, "left")
+    hi = np.append(lo[1:], len(bins))
+    nonempty = hi > lo
+    agg = np.maximum.reduceat(db, np.minimum(lo, len(bins) - 1), axis=-1)
+    return np.where(nonempty, agg, point)
+
+
+def spectrum_grid_ticks(
+    min_f: float, max_f: float, scale,
+) -> list[tuple[float, float, bool, str | None]]:
+    """Decade grid ticks (spectrum/state.rs:160-176): every 1..9 x 10^e in
+    range; major at x1; labels at x1/x2/x5.  Returns
+    ``(freq_hz, x_position, is_major, label)`` tuples."""
+    out = []
+    lo_e = int(np.floor(np.log10(max(min_f, 1.0))))
+    hi_e = int(np.ceil(np.log10(max_f)))
+    for e in range(lo_e, hi_e + 1):
+        base = 10.0 ** e
+        for m in range(1, 10):
+            f = base * m
+            if not (min_f <= f <= max_f):
+                continue
+            label = fmt_freq(f) if m in (1, 2, 5) else None
+            x = float(np.clip(scale.pos_of(min_f, max_f, f), 0.0, 1.0))
+            out.append((f, x, m == 1, label))
+    return out
+
+
+def spectrum_interpolated_peak(bins, db, bin_idx: int):
+    """Parabolic peak refinement (spectrum/state.rs:328-356): returns
+    ``(freq_hz, level_db)`` or ``None``."""
+    bins = np.asarray(bins, np.float32)
+    db = np.asarray(db, np.float32)
+    if bin_idx <= 0 or bin_idx + 1 >= len(bins) or len(bins) != len(db):
+        return None
+    bin_hz = float(bins[1] - bins[0])
+    center_f, center = float(bins[bin_idx]), float(db[bin_idx])
+    if not (bin_hz > 0 and np.isfinite(bin_hz)) or not np.isfinite(center_f) \
+            or not np.isfinite(center):
+        return None
+    left, right = float(db[bin_idx - 1]), float(db[bin_idx + 1])
+    offset = 0.0
+    if np.isfinite(left) and np.isfinite(right):
+        denom = left - 2.0 * center + right
+        if denom < -_EPS:
+            offset = float(np.clip(0.5 * (left - right) / denom, -0.5, 0.5))
+    level = center if offset == 0.0 else max(
+        center - 0.25 * (left - right) * offset, center
+    )
+    return max(center_f + offset * bin_hz, 0.0), level
+
+
+@dataclasses.dataclass
+class SpectrumPeakLabel:
+    """Decaying peak label (spectrum/state.rs:180-243): finds the highest
+    interior bin, refines it parabolically, and fades the label with the
+    reference's exact ballistics (pos lerp 0.20, opacity 0.65x+0.35 on
+    update, x0.88 decay when absent, dropped below 0.01)."""
+
+    floor_db: float = -99.9
+    content: tuple[str, str] | None = None
+    label_pos: tuple[float, float] = (0.0, 0.0)
+    marker_pos: tuple[float, float] = (0.0, 0.0)
+    opacity: float = 0.0
+
+    def update(
+        self, bins, db, scale,
+        min_f: float = SPECTRUM_MIN_FREQUENCY, max_f: float | None = None,
+        reverse: bool = False, unit: str = "dBFS",
+    ):
+        bins = np.asarray(bins, np.float32)
+        db = np.asarray(db, np.float32)
+        if max_f is None:
+            max_f = float(max(bins[-1], min_f * 1.02))
+        incoming = None
+        interior = np.arange(1, max(len(bins) - 1, 1))
+        ok = (bins[interior] >= min_f) & (bins[interior] <= max_f) & np.isfinite(
+            db[interior]
+        )
+        if ok.any():
+            cand = interior[ok]
+            bin_idx = int(cand[np.argmax(db[cand])])
+            pk = spectrum_interpolated_peak(bins, db, bin_idx)
+            if pk is not None:
+                f, m = pk
+                t = float(scale.pos_of(min_f, max_f, f))
+                if np.isfinite(t) and np.isfinite(m):
+                    x = float(np.clip(1.0 - t if reverse else t, 0.0, 1.0))
+                    y = float(np.clip(
+                        (m - self.floor_db)
+                        / max(SPECTRUM_MAX_DB - self.floor_db, _EPS),
+                        0.0, 1.0,
+                    ))
+                    if y >= 0.08:
+                        from openmeters_tpu.utils.musical import NoteInfo
+
+                        ni = NoteInfo.from_frequency(f)
+                        line2 = f"{fmt_freq(f)}   {m:.1f} {unit}"
+                        text = (
+                            (ni.fmt_note_cents(), line2)
+                            if ni is not None
+                            else (fmt_freq(f), line2)
+                        )
+                        incoming = (text, (x, y))
+        if incoming is not None:
+            text, pos = incoming
+            if self.opacity <= 0.0 or self.content is None:
+                self.content, self.label_pos, self.marker_pos = text, pos, pos
+                self.opacity = 1.0
+            else:
+                self.content = text
+                self.label_pos = tuple(
+                    p + (q - p) * 0.20 for p, q in zip(self.label_pos, pos)
+                )
+                self.marker_pos = pos
+                self.opacity = min(0.65 * self.opacity + 0.35, 1.0)
+        else:
+            self.opacity *= 0.88
+            if self.opacity < 0.01:
+                self.content = None
+                self.opacity = 0.0
+        return self

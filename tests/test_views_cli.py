@@ -194,3 +194,99 @@ def test_waveform_history_ring():
     assert hist.columns[-1]["max"][0] == 3.0
     hist.resize(1)
     assert len(hist.columns) == 1 and hist.columns[0]["max"][0] == 3.0
+
+
+# --- spectrum display mapping (spectrum/state.rs parity) --------------------
+
+
+def test_spectrum_points_mask_nonfinite():
+    """Mirror of the reference unit test point_build_emits_only_finite_
+    coordinates (state.rs:404-418): NaN/Inf magnitudes are masked."""
+    from openmeters_tpu.utils.frequency import FrequencyScale
+    from openmeters_tpu.views import spectrum_points
+
+    pts, valid = spectrum_points(
+        np.array([0.0, np.nan, -10.0, np.inf], np.float32),
+        np.array([0.0, 20.0, 30.0, 40.0], np.float32),
+        FrequencyScale.LINEAR, floor_db=-100.0, min_f=20.0, max_f=40.0,
+    )
+    assert pts.shape == (3, 2) and valid.tolist() == [False, True, False]
+    assert np.isfinite(pts[valid]).all()
+
+
+def test_spectrum_rebin_display_interpolates():
+    from openmeters_tpu.utils.frequency import FrequencyScale
+    from openmeters_tpu.views import spectrum_rebin_display
+
+    bins = np.linspace(0.0, 24_000.0, 513).astype(np.float32)
+    db = -60.0 + bins / 400.0  # linear ramp in frequency
+    for scale in FrequencyScale:
+        out = spectrum_rebin_display(db[None], bins, scale, 256, mode="sample")
+        assert out.shape == (1, 256)
+        t = (np.arange(256) + 0.5) / 256
+        want = -60.0 + np.asarray(
+            scale.freq_at(20.0, float(bins[-1]), t), np.float32
+        ) / 400.0
+        np.testing.assert_allclose(out[0], want, atol=0.05)
+        # monotone scale -> monotone display of a monotone trace
+        assert (np.diff(out[0]) >= -1e-3).all()
+
+
+def test_spectrum_grid_ticks_decades():
+    from openmeters_tpu.utils.frequency import FrequencyScale
+    from openmeters_tpu.views import spectrum_grid_ticks
+
+    ticks = spectrum_grid_ticks(20.0, 20_000.0, FrequencyScale.LOGARITHMIC)
+    freqs = [t[0] for t in ticks]
+    assert freqs == sorted(freqs)
+    assert 1000.0 in freqs and 20.0 in freqs and 20_000.0 in freqs
+    majors = [f for f, _, major, _ in ticks if major]
+    assert majors == [100.0, 1000.0, 10_000.0]
+    labeled = [f for f, _, _, label in ticks if label]
+    assert 2000.0 in labeled and 5000.0 in labeled and 300.0 not in labeled
+    for _, x, _, _ in ticks:
+        assert 0.0 <= x <= 1.0
+
+
+def test_spectrum_peak_label_ballistics():
+    from openmeters_tpu.utils.frequency import FrequencyScale
+    from openmeters_tpu.views import SpectrumPeakLabel
+
+    bins = np.linspace(0.0, 24_000.0, 2049).astype(np.float32)
+    bin_hz = float(bins[1])
+    db = np.full(2049, -90.0, np.float32)
+    true_f = 1000.0 + 0.3 * bin_hz
+    k = int(round(true_f / bin_hz))
+    # parabolic-ish bump around the true frequency
+    for i in (k - 1, k, k + 1):
+        db[i] = -10.0 - 8.0 * ((i * bin_hz - true_f) / bin_hz) ** 2
+
+    label = SpectrumPeakLabel(floor_db=-100.0)
+    label.update(bins, db, FrequencyScale.LOGARITHMIC)
+    assert label.content is not None and label.opacity == 1.0
+    assert "kHz" in label.content[1]
+    # refined frequency within a fraction of a bin
+    f_shown = label.content[0]
+    assert f_shown  # note name or frequency text
+    # fade out when the signal drops below the visibility floor
+    silent = np.full(2049, -100.0, np.float32)
+    for _ in range(40):
+        label.update(bins, silent, FrequencyScale.LOGARITHMIC)
+    assert label.content is None and label.opacity == 0.0
+
+
+def test_spectrum_analyzer_to_display_pipeline():
+    """End-to-end: analyzer snapshot -> rebinned ERB display output."""
+    from openmeters_tpu.utils.frequency import FrequencyScale
+    from openmeters_tpu.views import spectrum_rebin_display
+
+    rate, n = 48_000.0, 16_384
+    bins = np.fft.rfftfreq(n, 1.0 / rate).astype(np.float32)
+    db = np.full((2, len(bins)), -90.0, np.float32)
+    k = int(round(2000.0 * n / rate))
+    db[:, k] = -6.0
+    out = spectrum_rebin_display(db, bins, FrequencyScale.ERB, 512)
+    assert out.shape == (2, 512)
+    # the tone lands at its ERB display position
+    pos = float(FrequencyScale.ERB.pos_of(20.0, float(bins[-1]), 2000.0))
+    assert abs(int(np.argmax(out[0])) - int(pos * 512)) <= 2
