@@ -72,6 +72,61 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Run the production serving loop with native synthetic producers.
+
+    Real deployments push PCM via the Transport API (or a custom producer
+    adapter); this command stands in a native tone feeder so the full
+    transport -> device -> drain path is exercised end-to-end, and doubles
+    as the serving/ingest benchmark.
+    """
+    from openmeters_tpu.analyzers.spectrogram import SpectrogramConfig
+    from openmeters_tpu.engine import EngineConfig
+    from openmeters_tpu.ingest import Feeder
+    from openmeters_tpu.serve import MeterServer, ServeConfig, ingest_benchmark
+
+    if args.ingest_only:
+        report = ingest_benchmark(
+            n_streams=args.streams,
+            duration_s=args.duration,
+            feeder_threads=args.feeder_threads,
+            assembler_shards=args.assembler_shards,
+            realtime=not args.flat_out,
+        )
+        print(json.dumps(report))
+        return 0
+
+    engine_cfg = EngineConfig(
+        channels=2,
+        spectrogram=SpectrogramConfig(fft_size=2048, hop_size=64, use_reassignment=False),
+        spectrum=None,
+    )
+    server = MeterServer(
+        ServeConfig(
+            n_streams=args.streams,
+            channels=2,
+            engine=engine_cfg,
+            realtime=not args.flat_out,
+            fetch=args.fetch,
+            assembler_shards=args.assembler_shards,
+            scan_hops=args.scan_hops,
+        )
+    )
+    feeder = Feeder(
+        server.transport, n_threads=args.feeder_threads, frames_per_push=1024
+    )
+    try:
+        report = server.run(args.duration)
+    finally:
+        ok, failed = feeder.stop()
+        server.close()
+    report["feeder_pushes_ok"] = ok
+    report["feeder_pushes_failed"] = failed
+    server.stats.log_summary()
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_settings(args) -> int:
     from openmeters_tpu.engine import EngineConfig
     from openmeters_tpu.persistence import encode_settings, write_json_atomic
@@ -114,6 +169,20 @@ def main(argv=None) -> int:
     pa.add_argument("--settings", help="settings JSON (lossy schema)")
     pa.add_argument("--compact", action="store_true")
     pa.set_defaults(fn=cmd_analyze)
+
+    pv = sub.add_parser("serve", help="run the serving loop (synthetic feed)")
+    pv.add_argument("--streams", type=int, default=256)
+    pv.add_argument("--duration", type=float, default=5.0)
+    pv.add_argument("--fetch", choices=["meters", "full", "none"], default="meters")
+    pv.add_argument("--feeder-threads", type=int, default=4)
+    pv.add_argument("--assembler-shards", type=int, default=1)
+    pv.add_argument("--flat-out", action="store_true",
+                    help="no pacing: measure max throughput")
+    pv.add_argument("--scan-hops", type=int, default=1,
+                    help="device-side hops per dispatch (amortizes link latency)")
+    pv.add_argument("--ingest-only", action="store_true",
+                    help="host-only ingest benchmark (no device work)")
+    pv.set_defaults(fn=cmd_serve)
 
     ps = sub.add_parser("settings", help="settings utilities")
     ps.add_argument("--init", required=True, help="write default settings JSON")

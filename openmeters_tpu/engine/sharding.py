@@ -41,12 +41,13 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devices), (STREAM_AXIS,))
 
 
-def sharded_step(engine, mesh: Mesh):
+def sharded_step(engine, mesh: Mesh, donate_carry: bool = False):
     """Jit the engine step with explicit stream shardings over ``mesh``.
 
     Returns ``(step_fn, place_carry)``: ``step_fn(carry, block, meta, reset)``
     with all stream-indexed leaves sharded on ``STREAM_AXIS``; ``place_carry``
-    shards an engine carry pytree onto the mesh.
+    shards an engine carry pytree onto the mesh.  ``donate_carry`` donates
+    the carry buffers (serving loops update state in place).
     """
     carry_specs = engine.carry_pspecs(STREAM_AXIS)
 
@@ -66,6 +67,7 @@ def sharded_step(engine, mesh: Mesh):
     step = jax.jit(
         lambda carry, block, meta, reset: engine.step(carry, block, meta, reset),
         in_shardings=(carry_sh, block_sh, meta_shardings, reset_sh),
+        donate_argnums=(0,) if donate_carry else (),
     )
 
     def place_carry(carry):

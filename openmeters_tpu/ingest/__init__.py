@@ -8,4 +8,4 @@ BASELINE; any producer — sockets, files, shared memory — pushes PCM through
 :class:`Transport`.
 """
 
-from openmeters_tpu.ingest.transport import Transport  # noqa: F401
+from openmeters_tpu.ingest.transport import Feeder, Transport  # noqa: F401

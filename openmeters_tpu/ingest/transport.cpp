@@ -88,6 +88,10 @@ struct Stream {
   // assembler-side idle watchdog (hop-cadence synthesized silence)
   uint64_t idle_frames = 0;  // consecutive synthesized underrun frames
   bool idle_reset_done = false;
+
+  // per-output-buffer "row is all zeros" bits: a double-buffered serving
+  // loop passes its buffer slot so idle streams skip the 2 KB re-zeroing
+  uint8_t clean[4] = {0, 0, 0, 0};
 };
 
 struct Transport {
@@ -383,19 +387,19 @@ uint64_t om_fault_count(void* h, uint32_t stream) {
 //   (idle watchdog on the hop cadence)
 //
 // Returns the number of streams in the range that produced real PCM.
-int32_t om_assemble_range(void* h, float* out, uint8_t* reset_mask,
-                          uint8_t* underrun_mask, uint32_t begin,
-                          uint32_t end) {
+int32_t om_assemble_buf(void* h, float* out, uint8_t* reset_mask,
+                        uint8_t* underrun_mask, uint32_t begin, uint32_t end,
+                        uint32_t buf_id) {
   auto* t = static_cast<Transport*>(h);
   const uint32_t B = t->block_frames;
   const uint32_t C = t->channels;
+  const bool track_clean = buf_id < 4;
   if (end > t->n_streams) end = t->n_streams;
   int32_t live = 0;
 
   for (uint32_t si = begin; si < end; ++si) {
     Stream& s = *t->streams[si];
     float* dst = out + (size_t)si * B * C;
-    std::memset(dst, 0, sizeof(float) * B * C);
     reset_mask[si] = 0;
     underrun_mask[si] = 0;
 
@@ -474,6 +478,8 @@ int32_t om_assemble_range(void* h, float* out, uint8_t* reset_mask,
             std::memcpy(dst + (size_t)filled * C + first, s.data.data(),
                         sizeof(float) * (count - first));
         } else {
+          // padded channels [s.channels, C) must read zero
+          std::memset(dst + (size_t)filled * C, 0, sizeof(float) * take * C);
           const uint32_t copy_ch = s.channels < C ? s.channels : C;
           for (uint32_t f = 0; f < take; ++f) {
             uint64_t row = (pos + (uint64_t)f * s.channels) % s.data_cap;
@@ -491,12 +497,23 @@ int32_t om_assemble_range(void* h, float* out, uint8_t* reset_mask,
         s.data_tail.store(pos + (uint64_t)take * s.channels,
                           std::memory_order_release);
         got_pcm = true;
+      } else {
+        // Silence spans write their zeros directly.
+        std::memset(dst + (size_t)filled * C, 0, sizeof(float) * take * C);
       }
-      // Silence spans leave zeros.
       filled += take;
       s.carry_frames -= take;
       if (s.carry_frames == 0) s.has_carry = false;
     }
+
+    // zero the synthesized-silence tail — skipped when the whole row is
+    // untouched and this buffer slot's row is known to already be zero
+    if (filled < B) {
+      bool skip = track_clean && filled == 0 && s.clean[buf_id];
+      if (!skip)
+        std::memset(dst + (size_t)filled * C, 0, sizeof(float) * (B - filled) * C);
+    }
+    if (track_clean) s.clean[buf_id] = filled == 0 ? 1 : 0;
 
     if (got_pcm || (filled == B) || boundary_split) {
       s.idle_frames = 0;
@@ -516,10 +533,18 @@ int32_t om_assemble_range(void* h, float* out, uint8_t* reset_mask,
   return live;
 }
 
+int32_t om_assemble_range(void* h, float* out, uint8_t* reset_mask,
+                          uint8_t* underrun_mask, uint32_t begin,
+                          uint32_t end) {
+  // 0xff: no clean-row tracking (unknown caller buffer)
+  return om_assemble_buf(h, out, reset_mask, underrun_mask, begin, end, 0xff);
+}
+
 int32_t om_assemble(void* h, float* out, uint8_t* reset_mask,
                     uint8_t* underrun_mask) {
   auto* t = static_cast<Transport*>(h);
-  return om_assemble_range(h, out, reset_mask, underrun_mask, 0, t->n_streams);
+  return om_assemble_buf(h, out, reset_mask, underrun_mask, 0, t->n_streams,
+                         0xff);
 }
 
 // Frames currently buffered for a stream (diagnostics + backlog coalescing:

@@ -14,18 +14,22 @@ import threading
 
 import numpy as np
 
-_SRC = pathlib.Path(__file__).with_name("transport.cpp")
+_SRCS = [
+    pathlib.Path(__file__).with_name("transport.cpp"),
+    pathlib.Path(__file__).with_name("feeder.cpp"),
+]
 _LIB = pathlib.Path(__file__).with_name("_transport.so")
 _BUILD_LOCK = threading.Lock()
 
 
 def _build() -> pathlib.Path:
     with _BUILD_LOCK:
-        if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+        src_mtime = max(s.stat().st_mtime for s in _SRCS)
+        if _LIB.exists() and _LIB.stat().st_mtime >= src_mtime:
             return _LIB
         cmd = [
-            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-            "-o", str(_LIB), str(_SRC),
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+            "-o", str(_LIB), *map(str, _SRCS),
         ]
         subprocess.run(cmd, check=True, capture_output=True)
         return _LIB
@@ -70,6 +74,16 @@ def _load():
         ctypes.c_uint32,
         ctypes.c_uint32,
     ]
+    lib.om_assemble_buf.restype = ctypes.c_int32
+    lib.om_assemble_buf.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+    ]
     lib.om_set_active.argtypes = [ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32]
     lib.om_is_active.restype = ctypes.c_uint32
     lib.om_is_active.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
@@ -77,6 +91,17 @@ def _load():
     lib.om_buffered_frames.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
     lib.om_backlog_blocks.restype = ctypes.c_uint32
     lib.om_backlog_blocks.argtypes = [ctypes.c_void_p]
+    lib.om_feeder_start.restype = ctypes.c_void_p
+    lib.om_feeder_start.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_double, ctypes.c_float, ctypes.c_uint32, ctypes.c_uint64,
+        ctypes.c_uint32,
+    ]
+    lib.om_feeder_stop.argtypes = [ctypes.c_void_p]
+    lib.om_feeder_ok.restype = ctypes.c_uint64
+    lib.om_feeder_ok.argtypes = [ctypes.c_void_p]
+    lib.om_feeder_failed.restype = ctypes.c_uint64
+    lib.om_feeder_failed.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -159,38 +184,109 @@ class Transport:
     def buffered_frames(self, stream: int) -> int:
         return self._lib.om_buffered_frames(self._h, stream)
 
-    def assemble(self, pool=None, shards: int = 1):
+    def assemble(self, pool=None, shards: int = 1, out=None, buf_id=None):
         """Drain one hop: returns (batch [S,B,C] f32, reset [S] bool,
         underrun [S] bool, n_live).
+
+        ``buf_id`` (0-3) identifies a stable caller buffer slot so idle
+        stream rows that are already zero in that buffer skip re-zeroing.
 
         With ``pool`` (a ``concurrent.futures.ThreadPoolExecutor``) and
         ``shards > 1``, disjoint stream ranges are assembled concurrently —
         ctypes releases the GIL for the duration of each native call, so
         this scales the host assembler across cores for large stream counts.
+
+        ``out=(batch, reset, underrun)`` assembles into caller-owned numpy
+        buffers instead of the shared internal ones — the serving loop
+        alternates two buffer sets so an async ``device_put`` of hop N can
+        overlap assembly of hop N+1.
         """
-        out = self._batch.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-        rst = self._reset.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-        und = self._underrun.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        batch, reset, underrun = out if out is not None else (
+            self._batch, self._reset, self._underrun
+        )
+        bid = 0xFF if buf_id is None else buf_id
+        outp = batch.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        rst = reset.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        und = underrun.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         if pool is None or shards <= 1:
-            n_live = self._lib.om_assemble(self._h, out, rst, und)
+            n_live = self._lib.om_assemble_buf(
+                self._h, outp, rst, und, 0, self.n_streams, bid
+            )
         else:
             step = -(-self.n_streams // shards)
             futs = [
                 pool.submit(
-                    self._lib.om_assemble_range, self._h, out, rst, und,
-                    lo, min(lo + step, self.n_streams),
+                    self._lib.om_assemble_buf, self._h, outp, rst, und,
+                    lo, min(lo + step, self.n_streams), bid,
                 )
                 for lo in range(0, self.n_streams, step)
             ]
             n_live = sum(f.result() for f in futs)
+        return batch, reset.astype(bool), underrun.astype(bool), n_live
+
+    def make_buffers(self):
+        """Allocate one (batch, reset, underrun) buffer set for assemble."""
         return (
-            self._batch,
-            self._reset.astype(bool),
-            self._underrun.astype(bool),
-            n_live,
+            np.zeros((self.n_streams, self.block_frames, self.channels), np.float32),
+            np.zeros((self.n_streams,), np.uint8),
+            np.zeros((self.n_streams,), np.uint8),
         )
 
     def backlog_blocks(self) -> int:
         """Max whole blocks buffered over all streams — the serving loop
         runs this many extra catch-up hops (coalescing, meter.rs:15-80)."""
         return self._lib.om_backlog_blocks(self._h)
+
+
+class Feeder:
+    """Native synthetic producer threads (feeder.cpp): phase-continuous tone
+    PCM pushed at real-time pace (or flat out with backpressure) — the
+    hermetic stand-in for a live capture daemon in serve benchmarks."""
+
+    def __init__(
+        self,
+        transport: Transport,
+        begin: int = 0,
+        end: int | None = None,
+        frames_per_push: int | None = None,
+        amplitude: float = 0.5,
+        realtime: bool = True,
+        max_buffered_frames: int = 0,
+        n_threads: int = 4,
+    ):
+        self._lib = transport._lib
+        self._transport = transport  # keep alive
+        self._h = self._lib.om_feeder_start(
+            transport._h,
+            begin,
+            transport.n_streams if end is None else end,
+            frames_per_push or transport.block_frames,
+            transport.sample_rate,
+            amplitude,
+            1 if realtime else 0,
+            max_buffered_frames,
+            n_threads,
+        )
+
+    def stop(self) -> tuple[int, int]:
+        """Stop threads; returns (ok_pushes, failed_pushes)."""
+        if self._h:
+            ok = self._lib.om_feeder_ok(self._h)
+            failed = self._lib.om_feeder_failed(self._h)
+            self._lib.om_feeder_stop(self._h)
+            self._h = None
+            return int(ok), int(failed)
+        return 0, 0
+
+    def counts(self) -> tuple[int, int]:
+        if not self._h:
+            return 0, 0
+        return (
+            int(self._lib.om_feeder_ok(self._h)),
+            int(self._lib.om_feeder_failed(self._h)),
+        )
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.om_feeder_stop(self._h)
+            self._h = None

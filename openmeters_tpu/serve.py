@@ -1,0 +1,379 @@
+"""Production serving loop: transport -> device -> snapshot drain.
+
+Reference parity: the L3.5/L6 cadence — ``MeterEngine::advance``
+(src/meter.rs:82-143) pulls capture spans, re-chunks them into DSP batches
+with backlog coalescing (meter.rs:15-80), gates on pause (meter.rs:126-142),
+and synthesizes bounded silence for stalled streams (meter.rs:145-166,
+transport.rs:32-37,506-528).  TPU formulation:
+
+- the C++ transport assembles fixed ``[S, B, C]`` batches (idle watchdog,
+  activity epochs and generation resets live there, hop-cadence clocked);
+- the loop alternates two host buffer sets so the async ``device_put`` of
+  hop N overlaps assembly of hop N+1 (double buffering), and the engine
+  carry is donated so the step updates state in place;
+- snapshots drain with a bounded in-flight queue (depth 2 by default):
+  dispatch never blocks on fetch, and hop->result latency (including H2D)
+  is measured per drained hop;
+- backlog coalescing runs up to ``coalesce_blocks`` extra hops per advance
+  when the transport reports buffered blocks (the 1024-frame analogue);
+- ``set_paused`` stops consuming entirely (pause gates at the producer too,
+  via ``Transport.set_active`` per stream).
+
+``EngineStats`` (tracing.py) is wired here: hops, resets, underruns,
+realtime factor, plus latency percentiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from openmeters_tpu.engine import EngineConfig, MeterEngine, StreamMeta
+from openmeters_tpu.ingest import Transport
+from openmeters_tpu.tracing import EngineStats
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeConfig:
+    n_streams: int = 64
+    channels: int = 2
+    engine: EngineConfig | None = None
+    realtime: bool = True  # pace to the hop cadence vs flat out
+    coalesce_blocks: int = 4  # meter.rs: 1024 frames / 256-frame batches
+    drain_depth: int = 0  # in-flight fetches before a forced drain (deep
+    # async queues behave pathologically on high-latency device links)
+    fetch: str = "meters"  # meters | full | none
+    fetch_every: int = 6  # hops between host fetches (~30 Hz display rate,
+    # the frame-clock cadence; undrained hops stay on device)
+    scan_hops: int = 1  # >1: one device-side lax.scan over K hops per
+    # dispatch — amortizes per-dispatch latency on high-latency links
+    # (tunneled/remote devices); intermediate snapshots are DCE'd and only
+    # the newest is fetched, exactly the frame-clock consumption model
+    assembler_shards: int = 1  # host assembler threads
+    ring_seconds: float = 4.0 / 3.0
+    max_backlog_seconds: float = 1.0
+    max_silence_seconds: float = 2.0
+
+
+def _meter_leaf_mask(snaps, n_streams: int):
+    """Which snapshot leaves are per-stream scalar-ish meters (<=16 values
+    per stream — LUFS, peaks, correlations, trigger state) vs bulk arrays
+    (spectrogram columns, traces) that a display-rate consumer reads
+    separately, exactly like the reference GUI reading snapshots at frame
+    rate, not hop rate."""
+    import jax
+
+    return [
+        int(np.prod(leaf.shape)) <= 16 * n_streams
+        for leaf in jax.tree.leaves(snaps)
+    ]
+
+
+def _make_packer(mask):
+    """One jitted concat of the selected leaves into a single f32 vector —
+    the host fetch is then ONE transfer instead of one round-trip per leaf
+    (the tunnel's per-transfer latency dominates otherwise)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pack(snaps):
+        leaves = jax.tree.leaves(snaps)
+        picked = [l for l, m in zip(leaves, mask) if m]
+        return jnp.concatenate([l.astype(jnp.float32).ravel() for l in picked])
+
+    return pack
+
+
+class MeterServer:
+    """Owns transport + engine + the serving loop."""
+
+    def __init__(self, config: ServeConfig, mesh=None):
+        import jax
+
+        self.config = config
+        engine_cfg = config.engine or EngineConfig()
+        if engine_cfg.channels != config.channels:
+            # serve at the transport's channel count (engine configs default
+            # to 8-channel padding)
+            engine_cfg = dataclasses.replace(engine_cfg, channels=config.channels)
+        self.engine = MeterEngine(engine_cfg)
+        ecfg = self.engine.config
+        self.transport = Transport(
+            n_streams=config.n_streams,
+            channels=config.channels,
+            block_frames=ecfg.block_frames,
+            sample_rate=ecfg.sample_rate,
+            ring_seconds=config.ring_seconds,
+            max_backlog_seconds=config.max_backlog_seconds,
+            max_silence_seconds=config.max_silence_seconds,
+        )
+        self.meta = StreamMeta.default(
+            config.n_streams, channels=config.channels, pad_channels=config.channels
+        )
+
+        if mesh is not None:
+            from openmeters_tpu.engine import sharded_step
+
+            self._step, self._place = sharded_step(
+                self.engine, mesh, donate_carry=True
+            )
+        else:
+            self._step = jax.jit(
+                lambda c, b, m, r: self.engine.step(c, b, m, r),
+                donate_argnums=0,
+            )
+            self._place = lambda c: c
+        if config.scan_hops > 1:
+            engine = self.engine
+
+            def scan_fn(carry, blocks, meta, resets):
+                # K-1 hops with snapshots discarded (XLA DCEs their
+                # compute), then one hop whose snapshot is the fetchable
+                def body(c, xr):
+                    blk, rst = xr
+                    c, _ = engine.step(c, blk, meta, rst)
+                    return c, None
+
+                import jax as _jax
+
+                carry, _ = _jax.lax.scan(
+                    body, carry, (blocks[:-1], resets[:-1])
+                )
+                return engine.step(carry, blocks[-1], meta, resets[-1])
+
+            self._step = jax.jit(scan_fn, donate_argnums=0)
+        self.carry = self._place(self.engine.init(config.n_streams))
+        k, s, b = config.scan_hops, config.n_streams, ecfg.block_frames
+        if k > 1:
+            self._buffers = [
+                (
+                    np.zeros((k, s, b, config.channels), np.float32),
+                    np.zeros((k, s), np.uint8),
+                    np.zeros((k, s), np.uint8),
+                )
+                for _ in range(2)
+            ]
+        else:
+            self._buffers = [self.transport.make_buffers() for _ in range(2)]
+        self._pool = (
+            ThreadPoolExecutor(config.assembler_shards)
+            if config.assembler_shards > 1
+            else None
+        )
+        self.paused = False
+        self.stats = EngineStats()
+        self.latencies_ms: list[float] = []
+        self.last_snapshot = None
+        self._inflight: list[tuple[float, object]] = []
+        self._buf_i = 0
+
+        # compile before the clock starts: a cold first hop would stall past
+        # the backlog cap and fault every stream.  Two chained steps, so the
+        # second compiles against a step-output carry (donated layouts) —
+        # otherwise the first real hop recompiles mid-serve.
+        lead = (config.scan_hops,) if config.scan_hops > 1 else ()
+        zeros = jax.device_put(
+            np.zeros(
+                (*lead, config.n_streams, ecfg.block_frames, config.channels),
+                np.float32,
+            )
+        )
+        no_reset = jax.device_put(np.zeros((*lead, config.n_streams), bool))
+        warm_carry, warm_snaps = self._step(self.carry, zeros, self.meta, no_reset)
+        warm_carry, warm_snaps = self._step(warm_carry, zeros, self.meta, no_reset)
+        self._meter_mask = _meter_leaf_mask(warm_snaps, config.n_streams)
+        self._pack = _make_packer(
+            [True] * len(self._meter_mask)
+            if config.fetch == "full"
+            else self._meter_mask
+        )
+        # synchronize via a value fetch: on tunneled backends
+        # block_until_ready can return before compilation finishes
+        np.asarray(self._pack(warm_snaps))
+        del warm_carry  # donated input is gone; start from a fresh carry
+        self.carry = self._place(self.engine.init(config.n_streams))
+
+    # -- control ------------------------------------------------------------
+
+    def set_paused(self, paused: bool) -> None:
+        """Global pause: stop consuming (meter.rs:126-142)."""
+        self.paused = paused
+
+    def set_active(self, stream: int, active: bool) -> None:
+        self.transport.set_active(stream, active)
+
+    # -- the loop -----------------------------------------------------------
+
+    def _advance_one(self) -> None:
+        import jax
+
+        cfg = self.config
+        ecfg = self.engine.config
+        k = cfg.scan_hops
+        buf_i = self._buf_i
+        batch, reset, underrun = self._buffers[buf_i]
+        self._buf_i ^= 1
+        t0 = time.perf_counter()
+        if k > 1:
+            n_resets = n_under = 0
+            for j in range(k):
+                _, rst, und, _ = self.transport.assemble(
+                    pool=self._pool, shards=cfg.assembler_shards,
+                    out=(batch[j], reset[j], underrun[j]),
+                )
+                n_resets += int(rst.sum())
+                n_under += int(und.sum())
+            dev_reset = jax.device_put(reset.astype(bool))
+            for _ in range(k):
+                self.stats.record(
+                    cfg.n_streams, ecfg.block_frames, ecfg.sample_rate,
+                )
+            self.stats.resets += n_resets
+            self.stats.underruns += n_under
+        else:
+            _, rst, und, _ = self.transport.assemble(
+                pool=self._pool, shards=cfg.assembler_shards,
+                out=(batch, reset, underrun), buf_id=buf_i,
+            )
+            dev_reset = jax.device_put(rst)
+            self.stats.record(
+                cfg.n_streams, ecfg.block_frames, ecfg.sample_rate,
+                resets=int(rst.sum()), underruns=int(und.sum()),
+            )
+        dev_batch = jax.device_put(batch)
+        self.carry, snaps = self._step(self.carry, dev_batch, self.meta, dev_reset)
+        # display-rate drain: pack+fetch every fetch_every-th hop (one
+        # transfer); other hops stay on device (their state lives on in the
+        # carry; the snapshot handle is simply dropped)
+        fetch_now = (
+            cfg.fetch != "none"
+            and (self.stats.hops // k) % max(cfg.fetch_every // k, 1) == 0
+        )
+        if fetch_now:
+            self._inflight.append((t0, self._pack(snaps)))
+        while len(self._inflight) > cfg.drain_depth:
+            self._drain_one()
+
+    def _drain_one(self) -> None:
+        if not self._inflight:
+            return
+        t0, packed = self._inflight.pop(0)
+        self.last_snapshot = np.asarray(packed)
+        self.latencies_ms.append((time.perf_counter() - t0) * 1e3)
+
+    def advance(self) -> None:
+        """One engine advance: a hop plus backlog catch-up (coalescing)."""
+        if self.paused:
+            return
+        self._advance_one()
+        if self.config.scan_hops == 1:
+            extra = min(
+                self.transport.backlog_blocks(), self.config.coalesce_blocks - 1
+            )
+            for _ in range(extra):
+                self._advance_one()
+
+    def run(self, duration_s: float) -> dict:
+        """Serve for ``duration_s`` wall seconds; returns the stats report."""
+        ecfg = self.engine.config
+        advance_s = (
+            ecfg.block_frames * self.config.scan_hops / ecfg.sample_rate
+        )
+        t_start = time.perf_counter()
+        deadline = t_start + advance_s
+        end = t_start + duration_s
+        while time.perf_counter() < end:
+            if self.config.realtime:
+                # wait for the window's audio to arrive, then drain it
+                now = time.perf_counter()
+                if now < deadline:
+                    time.sleep(deadline - now)
+                deadline += advance_s
+                if deadline < now:  # fell behind: drop missed ticks
+                    deadline = now + advance_s
+            self.advance()
+        while self._inflight:
+            self._drain_one()
+        self.stats.wall_seconds = time.perf_counter() - t_start
+        return self.report()
+
+    def report(self) -> dict:
+        lat = np.asarray(self.latencies_ms, np.float64)
+        ecfg = self.engine.config
+        hop_s = ecfg.block_frames / ecfg.sample_rate
+        realtime_streams = (
+            self.config.n_streams
+            * (self.stats.hops * hop_s)
+            / max(self.stats.wall_seconds, 1e-9)
+        )
+        return {
+            "streams": self.config.n_streams,
+            "hops": self.stats.hops,
+            "resets": self.stats.resets,
+            "underruns": self.stats.underruns,
+            "audio_seconds": round(self.stats.audio_seconds, 3),
+            "wall_seconds": round(self.stats.wall_seconds, 3),
+            "realtime_factor": round(self.stats.realtime_factor, 2),
+            "realtime_streams": int(realtime_streams),
+            "latency_ms_p50": round(float(np.percentile(lat, 50)), 3) if lat.size else None,
+            "latency_ms_p95": round(float(np.percentile(lat, 95)), 3) if lat.size else None,
+            "latency_ms_max": round(float(lat.max()), 3) if lat.size else None,
+        }
+
+    def close(self) -> None:
+        while self._inflight:
+            self._drain_one()
+        if self._pool:
+            self._pool.shutdown()
+
+
+def ingest_benchmark(
+    n_streams: int, duration_s: float = 3.0, block_frames: int = 256,
+    channels: int = 2, sample_rate: float = 48_000.0, feeder_threads: int = 4,
+    assembler_shards: int = 1, realtime: bool = False,
+) -> dict:
+    """Host-only ingest throughput: native feeders push flat out (with
+    backpressure) while the assembler drains — measures the C++ path's
+    sustainable streams without any device work."""
+    from openmeters_tpu.ingest import Feeder
+
+    tp = Transport(
+        n_streams=n_streams, channels=channels, block_frames=block_frames,
+        sample_rate=sample_rate, ring_seconds=4.0 / 3.0,
+    )
+    ring_frames = int(4.0 / 3.0 * sample_rate)
+    feeder = Feeder(
+        tp, realtime=realtime, n_threads=feeder_threads,
+        max_buffered_frames=0 if realtime else ring_frames // 2,
+    )
+    pool = ThreadPoolExecutor(assembler_shards) if assembler_shards > 1 else None
+    bufs = tp.make_buffers()
+    t0 = time.perf_counter()
+    hops = 0
+    frames_out = 0
+    live_total = 0
+    while time.perf_counter() - t0 < duration_s:
+        _, _, _, live = tp.assemble(pool=pool, shards=assembler_shards, out=bufs)
+        hops += 1
+        live_total += live
+        frames_out += block_frames * live
+    wall = time.perf_counter() - t0
+    ok, failed = feeder.stop()
+    if pool:
+        pool.shutdown()
+    audio_s = frames_out / sample_rate
+    return {
+        "streams": n_streams,
+        "hops": hops,
+        "pushes_ok": ok,
+        "pushes_failed": failed,
+        "push_rate_per_s": int(ok / wall),
+        "assembled_audio_seconds": round(audio_s, 2),
+        "ingest_realtime_streams": int(audio_s / wall),
+        "wall_seconds": round(wall, 3),
+        "faults": sum(tp.fault_count(s) for s in range(min(n_streams, 64))),
+    }
