@@ -230,6 +230,14 @@ class SpectrogramAnalyzer:
         cfg = self.config
         w = window_coefficients(cfg.window, cfg.fft_size)
         norm = fft_bin_normalization(w, cfg.fft_size)
+        from openmeters_tpu.ops.pallas_sliding import pallas_enabled
+
+        if pallas_enabled():
+            # fused Pallas hop: slide + window + dB + u16 pack in one kernel
+            new_sdft, codes = self._sliding.step_fused(
+                sdft, info, norm, DB_FLOOR, emit_codes=True
+            )
+            return new_sdft, ClassicColumns(codes=codes, valid=info["valid"])
         new_sdft, power = self._sliding.step(sdft, info)
         db = power_to_db(power * norm, DB_FLOOR)
         return new_sdft, ClassicColumns(codes=pack_classic_db(db), valid=info["valid"])

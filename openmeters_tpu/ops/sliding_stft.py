@@ -99,6 +99,72 @@ class SlidingSTFT:
                 corr[j] = 0.5 * float(a) * n
         return corr
 
+    def step_fused(self, sdft: dict, info: dict, norm, floor_db: float,
+                   emit_codes: bool):
+        """Fused Pallas hop (ops/pallas_sliding.py): slide + window + power
+        (+ optional dB/u16 pack) in one kernel, state resident in VMEM.
+
+        The periodic exact re-anchor happens *before* the kernel as an
+        algebraic carry substitution: the kernel's col-0 slide is affine
+        (``F0 = rot * (f + d0)``), so substituting
+        ``f' = conj(rot) * F0_exact - d0`` makes the kernel land exactly on
+        the freshly computed spectrum — the kernel stays branch-free.
+        """
+        import jax as _jax
+
+        from openmeters_tpu.ops.pallas_sliding import sliding_hop
+
+        fb = self.frames
+        n, h = self.fft_size, self.hop
+        rot_r, rot_i, upd_r, upd_i = self._consts()
+        prec = jax.lax.Precision.HIGHEST
+
+        ready = info["ready"]
+        count = sdft["count"]
+        refresh = ((count % self.refresh_steps == 0) | ~sdft["anchored"]) & (
+            ready > 0
+        )
+
+        deltas = jnp.stack(
+            [
+                fb.slice(info, (k - 1) * h + n, h) - fb.slice(info, (k - 1) * h, h)
+                for k in range(fb.cols_cap)
+            ],
+            axis=1,
+        )  # [S, cols, h]
+
+        def reanchor(_):
+            spec = rfft_mxu(fb.slice(info, 0, n), n)
+            sr, si = jnp.real(spec), jnp.imag(spec)
+            tr = sr * rot_r + si * rot_i  # F0 * conj(rot)
+            ti = si * rot_r - sr * rot_i
+            d0 = deltas[:, 0]
+            dr = jnp.einsum("sh,hb->sb", d0, upd_r, precision=prec)
+            di = jnp.einsum("sh,hb->sb", d0, upd_i, precision=prec)
+            return tr - dr, ti - di
+
+        fr, fi = _jax.lax.cond(
+            refresh, reanchor, lambda _: (sdft["re"], sdft["im"]), None
+        )
+
+        coeffs = tuple(float(a) for a in self._stencil())
+        fr2, fi2, out = sliding_hop(
+            ready, fr, fi, deltas,
+            jnp.asarray(upd_r), jnp.asarray(upd_i),
+            jnp.asarray(rot_r)[None], jnp.asarray(rot_i)[None],
+            jnp.asarray(self._dc_corr_vector())[None],
+            jnp.asarray(norm, jnp.float32).reshape(1, -1),
+            cols=fb.cols_cap, hop=h, bins=self.bins, n=n, coeffs=coeffs,
+            floor_db=float(floor_db), emit_codes=emit_codes,
+        )
+        new_sdft = {
+            "re": fr2,
+            "im": fi2,
+            "count": count + 1,
+            "anchored": sdft["anchored"] | refresh,
+        }
+        return new_sdft, out
+
     def step(self, sdft: dict, info: dict):
         """Produce windowed, DC-removed power columns for this engine hop.
 
