@@ -135,11 +135,25 @@ class OscilloscopeAnalyzer:
 
     @property
     def search_cap(self) -> int:
-        return max(int(math.ceil(self.max_period * SEARCH_PERIODS)), 1)
+        # the runtime search length is clipped to klen // 2 <= kernel_cap // 2
+        # (processor.rs caps the search at half the trigger kernel), so the
+        # static capacity never needs to exceed that.
+        return max(
+            min(int(math.ceil(self.max_period * SEARCH_PERIODS)), self.kernel_cap // 2),
+            1,
+        )
 
     @property
     def work_cap(self) -> int:
         return self.search_cap + self.kernel_cap
+
+    @property
+    def _kernel_min(self) -> int:
+        """Smallest runtime trigger-kernel length (klen >= rate * WINDOW_SECONDS)."""
+        return min(
+            self.kernel_cap,
+            max(int(round(self.config.sample_rate * WINDOW_SECONDS)), 2),
+        )
 
     @property
     def history_frames(self) -> int:
@@ -173,7 +187,16 @@ class OscilloscopeAnalyzer:
 
     @property
     def corr_fft(self) -> int:
-        return _next_pow2(self.work_cap + self.kernel_cap)
+        # Circular FFT cross-correlation is exact (no wraparound) at offset j
+        # when j + k < nfft for every template tap k < klen: valid offsets
+        # reach j = base + search <= work_cap - klen, so nfft >= work_cap
+        # suffices for the *valid* scores.  The dense score slice additionally
+        # reads (masked, discarded) lags up to base_max + search_cap where
+        # base_max = work_cap - 1 - klen_min; covering those keeps the
+        # dynamic slice from clip-shifting.  This halves the transform vs the
+        # naive linear-correlation bound work_cap + kernel_cap.
+        max_read = self.work_cap - self._kernel_min + self.search_cap
+        return _next_pow2(max(self.work_cap, max_read))
 
     # -- trace wiring (static) ----------------------------------------------
 
@@ -307,10 +330,12 @@ class OscilloscopeAnalyzer:
         peak = jnp.argmax(early, axis=-1)  # first True
         peak = jnp.where(jnp.any(early, axis=-1), peak, best_idx)
 
-        take = jax.vmap(lambda a, i: a[i])
-        y0 = take(nsdf, jnp.maximum(peak - 1, 0))
-        y1 = take(nsdf, peak)
-        y2 = take(nsdf, jnp.minimum(peak + 1, max_lag))
+        # neighbor reads as fused one-hot reductions (vmap scalar indexing
+        # lowers to a serial per-row loop on TPU — ~0.4 ms per take at
+        # S=1024; these three fuse into one pass).  Edge clamping is
+        # unnecessary: whenever `detected` holds, first_tau <= peak < max_lag
+        # keeps peak±1 in range, and undetected lanes discard the values.
+        y0, y1, y2 = _onehot_neighbors(nsdf, peak)
         period = _parabolic_refine(y0, y1, y2, peak)
         confidence = jnp.clip(y1, 0.0, 1.0)
 
@@ -396,9 +421,11 @@ class OscilloscopeAnalyzer:
         left = right - search
 
         # work = trace[left-before : right+after], end-aligned into [S, wcap]
+        from openmeters_tpu.ops.pallas_rows import window_rows
+
         work_end = right + after
         w_start = jnp.clip(work_end - wcap, 0, hist - wcap)
-        work = _dyn_slice_rows(trace, w_start, wcap)
+        work = window_rows(trace, w_start, wcap)
         # valid region of work: last (search + klen) entries
         wlen = search + klen
         widx = np.arange(wcap)
@@ -444,17 +471,39 @@ class OscilloscopeAnalyzer:
             t = jnp.where(use_ref[:, None], edges + reference, edges)
             return jnp.where(kmask, t, 0.0)
 
+        # work spectrum feeds the template correlation; sliding window sums
+        # come from exact cumsums read back as Pallas row windows; the dots
+        # land on a static slice via the phase-shift theorem
+        from openmeters_tpu.ops.fft import rfft_mxu
+
+        base = wcap - search - klen  # [S] first searched work index
+        wf = rfft_mxu(work, self.corr_fft)
+        wf_re, wf_im = jnp.real(wf), jnp.imag(wf)
+        ph_re, ph_im = _shift_phase(base, self.corr_fft)
+
+        def padded_cumsum(v):
+            c = jnp.cumsum(v, axis=-1)
+            zero = jnp.zeros_like(c[..., :1])
+            return jnp.concatenate(
+                [zero, c, jnp.broadcast_to(c[..., -1:], (*c.shape[:-1], scap))],
+                axis=-1,
+            )
+
+        ends = jnp.stack([base + klen, base], axis=1)  # [S, 2]
+        r1 = window_rows(padded_cumsum(work), ends, scap + 1)
+        r2 = window_rows(padded_cumsum(work * work), ends, scap + 1)
+        sx = r1[:, 0] - r1[:, 1]
+        sxx = r2[:, 0] - r2[:, 1]
+
         def search_best(template):
-            scores = _masked_norm_corr(
-                work, wvalid, template, kmask, klen, search, wcap, scap, self.corr_fft
+            scores = _corr_scores(
+                wf_re, wf_im, sx, sxx, template, klen, ph_re, ph_im,
+                self.corr_fft, scap,
             )
             oidx = np.arange(scap + 1)
             ovalid = oidx[None, :] <= search[:, None]
             best = jnp.argmax(jnp.where(ovalid, scores, -jnp.inf), axis=-1)
-            take = jax.vmap(lambda a, i: a[i])
-            b0 = take(scores, jnp.maximum(best - 1, 0))
-            b1 = take(scores, best)
-            b2 = take(scores, jnp.minimum(best + 1, scap))
+            b0, b1, b2 = _onehot_neighbors(scores, best)
             interior = (best > 0) & (best < search)
             frac = jnp.where(
                 interior,
@@ -467,12 +516,21 @@ class OscilloscopeAnalyzer:
         best, frac = search_best(template)
 
         # candidate write + reference reset check (processor.rs:381-399,509-527)
+        # (work padded by kcap so the capacity read [cstart, cstart+kcap)
+        # never clip-shifts — only [cstart, cstart+klen) carries data, and
+        # cstart + klen <= wcap always holds)
+        work_padded = jnp.pad(work, ((0, 0), (0, kcap)))
+
         def candidate_at(offset):
-            # segment = work[wcap - wlen + offset : ... + klen]
-            cstart = (wcap - wlen) + offset
-            seg = _dyn_slice_rows(work, cstart, kcap)
+            seg = window_rows(work_padded, base + offset, kcap)
             seg = jnp.where(kmask, seg, 0.0)
-            cmean = jnp.sum(seg, axis=-1) / jnp.maximum(klen.astype(jnp.float32), 1.0)
+            # mean over the first klen samples == the sliding sum at `offset`
+            oh = (
+                jnp.arange(scap + 1, dtype=jnp.int32)[None, :] == offset[:, None]
+            ).astype(jnp.float32)
+            cmean = jnp.sum(sx * oh, axis=-1) / jnp.maximum(
+                klen.astype(jnp.float32), 1.0
+            )
             cand = jnp.where(kmask, seg - cmean[:, None], 0.0)
             peakv = jnp.max(jnp.abs(cand), axis=-1)
             cand = cand / jnp.maximum(peakv, NORMALIZE_FLOOR)[:, None]
@@ -621,7 +679,21 @@ class OscilloscopeAnalyzer:
             # capture windows: raw contiguous samples per trace (the
             # reference's linear downsample to <=4096 points happens
             # render-side, views.resample_trace — raw samples carry strictly
-            # more information)
+            # more information).  One batched Pallas row-window extraction
+            # over the active traces (a per-row dynamic slice is a serial
+            # loop on TPU).
+            from openmeters_tpu.ops.pallas_rows import window_rows
+
+            active = [t for t in range(TRACE_COUNT) if self.active_traces[t]]
+            extracted = {}
+            if active:
+                a = len(active)
+                sig = hist[:, jnp.asarray(active)].reshape(s * a, hist_len)
+                starts = jnp.repeat(capture["start"], a)
+                win = window_rows(sig, starts, self.window_cap).reshape(
+                    s, a, self.window_cap
+                )
+                extracted = {t: win[:, i] for i, t in enumerate(active)}
             samples = []
             valids = []
             for t in range(TRACE_COUNT):
@@ -629,9 +701,7 @@ class OscilloscopeAnalyzer:
                     samples.append(jnp.zeros((s, self.window_cap), jnp.float32))
                     valids.append(jnp.zeros((s,), bool))
                     continue
-                samples.append(
-                    _dyn_slice_rows(hist[:, t], capture["start"], self.window_cap)
-                )
+                samples.append(extracted[t])
                 valids.append(capture["valid"])
             snap = {
                 "samples": jnp.stack(samples, axis=1),
@@ -685,14 +755,6 @@ def _parabolic_refine(y0, y1, y2, tau):
     return jnp.maximum(tau.astype(jnp.float32) + jnp.clip(delta, -1.0, 1.0), 1.0)
 
 
-def _dyn_slice_rows(x, starts, length: int):
-    """Per-row dynamic slice: x [S, N], starts [S] -> [S, length]."""
-    starts = jnp.clip(starts, 0, x.shape[-1] - length)
-    return jax.vmap(
-        lambda row, st: jax.lax.dynamic_slice(row, (st,), (length,))
-    )(x, starts)
-
-
 def _gaussian_sym(length, std, cap: int):
     """gaussian(len, i, std) over a capacity buffer (processor.rs:199-204)."""
     i = np.arange(cap, dtype=np.float32)
@@ -731,58 +793,62 @@ def _norm_corr_single(x, y, mask):
     return jnp.where(denom > 1e-7, jnp.clip(dot / jnp.maximum(denom, 1e-30), -1, 1), 0.0)
 
 
-def _masked_norm_corr(work, wvalid, template, kmask, klen, search, wcap, scap, nfft):
-    """Dense normalized correlation scores at offsets 0..search.
+def _onehot_neighbors(values, idx):
+    """``values [S, N]``, ``idx [S]`` → ``(values[idx-1], values[idx],
+    values[idx+1])`` as fused one-hot reductions (out-of-range neighbors read
+    as 0).  ``vmap`` scalar indexing lowers to a serial per-row loop on TPU
+    (~0.4 ms per take at S=1024); these fuse into one vectorized pass."""
+    n = values.shape[-1]
+    oh = (jnp.arange(n, dtype=jnp.int32)[None, :] == idx[:, None]).astype(
+        values.dtype
+    )
+    y1 = jnp.sum(values * oh, axis=-1)
+    y0 = jnp.sum(values[:, :-1] * oh[:, 1:], axis=-1)
+    y2 = jnp.sum(values[:, 1:] * oh[:, :-1], axis=-1)
+    return y0, y1, y2
 
-    work: [S, wcap] end-aligned (valid region = last search+klen entries);
-    template: [S, kcap].  Offset o starts at work index (wcap - search - klen
-    + o).  Returns [S, scap+1] scores.
 
-    TPU notes: the sliding dot runs as an MXU FFT cross-correlation; all
-    per-offset reads are *contiguous* per-stream dynamic slices (TPU gathers
-    with arbitrary indices are ~30x slower than contiguous dynamic slices).
-    """
+def _cmul(a_re, a_im, b_re, b_im):
+    return a_re * b_re - a_im * b_im, a_re * b_im + a_im * b_re
+
+
+def _shift_phase(shift, nfft: int):
+    """``e^{+2πi·j·shift/nfft}`` over one-sided bins: multiplying a spectrum
+    by this advances its inverse transform by ``shift`` samples (time-shift
+    theorem), turning dynamic per-stream window reads into static slices
+    after the irfft.  The angle is reduced mod nfft in exact int32 before the
+    float trig so large shifts lose no precision."""
+    bins = nfft // 2 + 1
+    j = jnp.arange(bins, dtype=jnp.int32)[None, :]
+    m = (j * shift.astype(jnp.int32)[:, None]) % nfft
+    ang = (2.0 * np.pi / nfft) * m.astype(jnp.float32)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _corr_scores(
+    wf_re, wf_im, sx, sxx, template, klen, ph_re, ph_im, nfft: int, scap: int
+):
+    """Dense normalized correlation scores at offsets 0..scap (work index
+    base+o).  The sliding dot is an MXU FFT cross-correlation; the window
+    sums arrive precomputed from :func:`_sliding_sums`."""
     from openmeters_tpu.ops.fft import irfft_mxu, rfft_mxu
 
-    t = jnp.where(kmask, template, 0.0)
-    w = jnp.where(wvalid, work, 0.0)
+    tf = rfft_mxu(template, nfft)
+    c_re = wf_re * jnp.real(tf) + wf_im * jnp.imag(tf)  # wf · conj(tf)
+    c_im = wf_im * jnp.real(tf) - wf_re * jnp.imag(tf)
+    d_re, d_im = _cmul(c_re, c_im, ph_re, ph_im)
+    dots = irfft_mxu(d_re, d_im, nfft)[:, : scap + 1]
 
-    # sliding dot via FFT cross-correlation (MXU)
-    wf = rfft_mxu(w, nfft)
-    tf = rfft_mxu(t, nfft)
-    prod = wf * jnp.conj(tf)
-    corr = irfft_mxu(jnp.real(prod), jnp.imag(prod), nfft)  # [S, nfft]
-    # dot at work-start index j lives at corr[j]; offsets are contiguous
-    base = wcap - search - klen  # [S]
-    dots = _dyn_slice_rows(corr, base, scap + 1)
-
-    # sliding sums of work and work^2 over klen-windows via cumsum; the two
-    # ends of each window are contiguous runs at base and base+klen.  Pad by
-    # scap so the slices never clip-shift (offsets beyond `search` are masked
-    # by the caller, but a clipped dynamic-slice start would corrupt the
-    # valid head too).
-    def padded_cumsum(v):
-        c = jnp.cumsum(v, axis=-1)
-        zero = jnp.zeros_like(c[..., :1])
-        return jnp.concatenate(
-            [zero, c, jnp.broadcast_to(c[..., -1:], (*c.shape[:-1], scap))], axis=-1
-        )
-
-    cw = padded_cumsum(w)
-    cw2 = padded_cumsum(w * w)
-    sx = _dyn_slice_rows(cw, base + klen, scap + 1) - _dyn_slice_rows(cw, base, scap + 1)
-    sxx = _dyn_slice_rows(cw2, base + klen, scap + 1) - _dyn_slice_rows(
-        cw2, base, scap + 1
-    )
-
-    st = jnp.sum(t, axis=-1, keepdims=True)
-    stt = jnp.sum(t * t, axis=-1, keepdims=True)
+    st = jnp.sum(template, axis=-1, keepdims=True)
+    stt = jnp.sum(template * template, axis=-1, keepdims=True)
     n = jnp.maximum(klen.astype(jnp.float32), 1.0)[:, None]
     dot = dots - sx * st / n
     ex = jnp.maximum(sxx - sx * sx / n, 0.0)
     ey = jnp.maximum(stt - st * st / n, 0.0)
     denom = jnp.sqrt(ex * ey)
     return jnp.where(denom > 1e-7, jnp.clip(dot / jnp.maximum(denom, 1e-30), -1, 1), 0.0)
+
+
 
 
 def _retune(reference, ref_len, old_period, new_period, new_len, cap: int):

@@ -21,9 +21,18 @@ TPU formulation:
 - Column membership per sample is ``(r + n*p) // q``; per-step emissions are
   bounded by the static capacity, so columns are fixed ``[S, cap, ...]``
   masked reductions.
-- Band means at emission positions are exact prefix-sum differences over a
-  sample-granular ring of band magnitudes/powers — the batched equivalent of
-  per-sample ``WindowedMeans`` reads at column boundaries.
+- Band means at emission positions are exact trailing-window sums assembled
+  from a **block-granular circular ring** (the ``ops/windowed.py`` trick
+  extended to arbitrary in-block read positions): per hop we keep per-block
+  sums of |band| and band² plus the raw band samples, and a window ending at
+  in-block position ``pos`` decomposes into (new-block prefix sum) + (whole
+  ring-block totals) + (a suffix of the two blocks aged ~W samples).  All
+  reads are O(block) per hop instead of the naive O(W) cumsum over
+  ``[S, W+B, 12]`` (W is 17.8k samples for the slow RMS window @48 kHz), the
+  ring write is an O(block) ``dynamic_update_slice`` instead of an O(W)
+  concatenate-roll, and every sum is recomputed fresh from stored block sums
+  so there is zero accumulation drift.  Resets are free: ring slots older
+  than the per-stream sample counter are masked out instead of zeroed.
 """
 
 from __future__ import annotations
@@ -122,8 +131,21 @@ class WaveformAnalyzer:
     def slow_window(self) -> int:
         return window_len(BAND_SLOW_WINDOW_AT_44K1, self.config.sample_rate)
 
+    def _block_age(self, window: int) -> int:
+        """Oldest whole-block age below the suffix pair for ``window``."""
+        b = self.config.block_frames
+        return max((window - b - 1) // b, 0)
+
+    @property
+    def ring_blocks(self) -> int:
+        """Circular-ring capacity: a window read touches block ages up to
+        ``_block_age(w) + 1``."""
+        w = self.slow_window if self.config.track_history else self.color_window
+        return self._block_age(w) + 2
+
     def init(self, n_streams: int) -> dict:
         s = n_streams
+        b = self.config.block_frames
         carry = {
             "phase_r": jnp.zeros((s,), jnp.int32),
             "cur_min": jnp.zeros((s, DERIVED_CHANNELS), jnp.float32),
@@ -133,15 +155,14 @@ class WaveformAnalyzer:
             "last_ok": jnp.zeros((s, DERIVED_CHANNELS), bool),
         }
         if self.config.analyze_bands:
+            k, lanes = self.ring_blocks, DERIVED_CHANNELS * NUM_BANDS
             carry["tb"] = three_band_init((s, 2), 1)
             carry["count"] = jnp.zeros((s,), jnp.int32)
-            carry["color_ring"] = jnp.zeros(
-                (s, self.color_window, DERIVED_CHANNELS, NUM_BANDS), jnp.float32
-            )
+            carry["ring_head"] = jnp.zeros((), jnp.int32)
+            carry["raw_ring"] = jnp.zeros((s, k, b, lanes), jnp.float32)
+            carry["color_tot"] = jnp.zeros((s, k, lanes), jnp.float32)
             if self.config.track_history:
-                carry["power_ring"] = jnp.zeros(
-                    (s, self.slow_window, DERIVED_CHANNELS, NUM_BANDS), jnp.float32
-                )
+                carry["power_tot"] = jnp.zeros((s, k, lanes), jnp.float32)
         return carry
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -254,12 +275,13 @@ class WaveformAnalyzer:
         pv_rms = jnp.full((s, 2, DERIVED_CHANNELS, NUM_BANDS), DB_FLOOR, jnp.float32)
 
         if cfg.analyze_bands:
+            assert b == cfg.block_frames, "band ring cadence requires fixed blocks"
+            lanes = DERIVED_CHANNELS * NUM_BANDS
+            k = self.ring_blocks
             tb, count = carry["tb"], carry["count"]
-            color_ring = carry["color_ring"]
             if reset_mask is not None:
                 tb = jnp.where(reset_mask[None, None, None, :, None], 0.0, tb)
                 count = jnp.where(reset_mask, 0, count)
-                color_ring = jnp.where(reset_mask[:, None, None, None], 0.0, color_ring)
 
             lr = jnp.transpose(block.astype(jnp.float32), (1, 0, 2))  # [B, S, 2]
             lr = jnp.where(jnp.transpose(fin[..., :2], (1, 0, 2)), lr, 0.0)
@@ -270,9 +292,14 @@ class WaveformAnalyzer:
             dbands = jnp.stack([fl, fr, (fl + fr) * 0.5, (fl - fr) * 0.5], axis=-1)
             dbands = jnp.transpose(dbands, (2, 0, 3, 1))  # [S, B, 4, 3]
             dbands = jnp.where(fin[:, :, :, None], dbands, 0.0)
+            dbands = jnp.where(jnp.isfinite(dbands), dbands, 0.0)
+            flat = dbands.reshape(s, b, lanes)  # [S, B, 12]
+            gains12 = np.tile(BAND_COLOR_GAINS, DERIVED_CHANNELS)
 
-            color_vals = jnp.abs(dbands) * BAND_COLOR_GAINS
-            color_vals = jnp.where(jnp.isfinite(color_vals), color_vals, 0.0)
+            head = carry["ring_head"]
+            raw = carry["raw_ring"]
+            blocks_cnt = count // b  # whole blocks since reset
+            ages = (head - 1 - jnp.arange(k, dtype=jnp.int32)) % k  # [K] slot ages
 
             # positions: last sample of column k = ceil(((k+1) q - r) / p) - 1;
             # final slot doubles as the preview position (block end).
@@ -283,40 +310,95 @@ class WaveformAnalyzer:
                 [pos, jnp.full((s, 1), b - 1, jnp.int32)], axis=1
             )  # [S, cap+1]
 
-            def window_means(ring, values, window, positions, counts):
-                """Trailing mean of `values` at in-block `positions` (inclusive)."""
-                w = window
-                xx = jnp.concatenate([ring[:, -w:], values], axis=1)  # [S, w+B, 4, 3]
-                csum = jnp.cumsum(xx.astype(jnp.float32), axis=1)
-                csum = jnp.concatenate([jnp.zeros_like(csum[:, :1]), csum], axis=1)
-                gather = jax.vmap(lambda a, i: a[i])
-                total = gather(csum, positions + 1 + w) - gather(csum, positions + 1)
-                n_at = jnp.minimum(
-                    (counts[:, None] + positions + 1).astype(jnp.float32), float(w)
+            def read_pair(a0: int):
+                """[S, 2B, lanes] raw samples of block ages a0+1 (older half)
+                and a0, zeroed where the block predates the stream's reset."""
+                s_old = (head - 2 - a0) % k
+                s_new = (head - 1 - a0) % k
+                older = jax.lax.dynamic_slice(raw, (0, s_old, 0, 0), (s, 1, b, lanes))
+                newer = jax.lax.dynamic_slice(raw, (0, s_new, 0, 0), (s, 1, b, lanes))
+                pair = jnp.concatenate([older[:, 0], newer[:, 0]], axis=1)
+                valid = jnp.concatenate(
+                    [
+                        jnp.broadcast_to((blocks_cnt > a0 + 1)[:, None], (s, b)),
+                        jnp.broadcast_to((blocks_cnt > a0)[:, None], (s, b)),
+                    ],
+                    axis=1,
                 )
-                return total / n_at[..., None, None]
+                return jnp.where(valid[:, :, None], pair, 0.0)
 
-            cm = window_means(color_ring, color_vals, self.color_window, pos_all, count)
+            def base_total(tot_ring, a0: int):
+                """Sum of whole-block totals at ages 0..a0-1 (post-reset only)."""
+                mask = (ages[None, :] < a0) & (ages[None, :] < blocks_cnt[:, None])
+                return jnp.sum(jnp.where(mask[:, :, None], tot_ring, 0.0), axis=1)
+
+            gather = jax.vmap(lambda a_, i: a_[i])
+
+            def window_means(new_vals, pair_vals, base_tot, window: int):
+                """Trailing mean over `window` samples ending at pos_all
+                (inclusive): new-block prefix + whole-block totals + a suffix
+                of the two ~window-aged ring blocks."""
+                a0 = self._block_age(window)
+                csum = jnp.cumsum(new_vals, axis=1)
+                prefix = jnp.concatenate([jnp.zeros_like(csum[:, :1]), csum], axis=1)
+                rev = jnp.cumsum(pair_vals[:, ::-1], axis=1)
+                sufx = jnp.concatenate([jnp.zeros_like(rev[:, :1]), rev], axis=1)
+                m = window - 1 - pos_all  # [S, cap+1] history samples needed
+                idx = jnp.clip(m - a0 * b, 0, 2 * b)
+                total = (
+                    gather(prefix, pos_all + 1)
+                    + gather(sufx, idx)
+                    + base_tot[:, None, :]
+                )  # [S, cap+1, lanes]
+                n_at = jnp.minimum(
+                    (count[:, None] + pos_all + 1).astype(jnp.float32), float(window)
+                )
+                return (total / n_at[..., None]).reshape(
+                    s, -1, DERIVED_CHANNELS, NUM_BANDS
+                )
+
+            a0_color = self._block_age(self.color_window)
+            pair_color_raw = read_pair(a0_color)
+            color_tot = carry["color_tot"]
+            cm = window_means(
+                jnp.abs(flat) * gains12,
+                jnp.abs(pair_color_raw) * gains12,
+                base_total(color_tot, a0_color),
+                self.color_window,
+            )
             col_color = jnp.maximum(cm[:, :cap], 0.0)
             pv_color = jnp.maximum(cm[:, cap], 0.0)
-            color_ring = jnp.concatenate([color_ring, color_vals], axis=1)[
-                :, -self.color_window :
-            ]
 
+            slot = head % k
             new_carry["tb"] = tb
-            new_carry["color_ring"] = color_ring
             new_carry["count"] = jnp.minimum(count + b, jnp.int32(2**30))
+            new_carry["ring_head"] = (head + 1) % k
+            new_carry["raw_ring"] = jax.lax.dynamic_update_slice(
+                raw, flat[:, None], (0, slot, 0, 0)
+            )
+            new_carry["color_tot"] = jax.lax.dynamic_update_slice(
+                color_tot,
+                jnp.sum(jnp.abs(flat) * gains12, axis=1)[:, None],
+                (0, slot, 0),
+            )
 
             if cfg.track_history:
-                power_ring = carry["power_ring"]
-                if reset_mask is not None:
-                    power_ring = jnp.where(
-                        reset_mask[:, None, None, None], 0.0, power_ring
-                    )
-                powers = dbands * dbands
-                powers = jnp.where(jnp.isfinite(powers), powers, 0.0)
-                fast = window_means(power_ring, powers, self.color_window, pos_all, count)
-                slow = window_means(power_ring, powers, self.slow_window, pos_all, count)
+                power_tot = carry["power_tot"]
+                powers = flat * flat
+                fast = window_means(
+                    powers,
+                    pair_color_raw * pair_color_raw,
+                    base_total(power_tot, a0_color),
+                    self.color_window,
+                )
+                a0_slow = self._block_age(self.slow_window)
+                pair_slow_raw = read_pair(a0_slow)
+                slow = window_means(
+                    powers,
+                    pair_slow_raw * pair_slow_raw,
+                    base_total(power_tot, a0_slow),
+                    self.slow_window,
+                )
                 rms = jnp.stack(
                     [
                         power_to_db(jnp.maximum(fast, 0.0), DB_FLOOR),
@@ -326,9 +408,9 @@ class WaveformAnalyzer:
                 )  # [S, cap+1, 2, 4, 3]
                 col_rms = rms[:, :cap]
                 pv_rms = rms[:, cap]
-                new_carry["power_ring"] = jnp.concatenate(
-                    [power_ring, powers], axis=1
-                )[:, -self.slow_window :]
+                new_carry["power_tot"] = jax.lax.dynamic_update_slice(
+                    power_tot, jnp.sum(powers, axis=1)[:, None], (0, slot, 0)
+                )
 
         progress = new_phase_r.astype(jnp.float32) / float(q)
         return new_carry, WaveformSnapshot(
@@ -357,8 +439,10 @@ class WaveformAnalyzer:
         }
         if self.config.analyze_bands:
             specs["tb"] = P(None, None, None, axis, None)
-            specs["color_ring"] = P(axis, None, None, None)
             specs["count"] = P(axis)
+            specs["ring_head"] = P()
+            specs["raw_ring"] = P(axis, None, None, None)
+            specs["color_tot"] = P(axis, None, None)
             if self.config.track_history:
-                specs["power_ring"] = P(axis, None, None, None)
+                specs["power_tot"] = P(axis, None, None)
         return specs

@@ -171,13 +171,29 @@ def ifft_mxu(re, im, n: int | None = None):
 def irfft_mxu(spec_re, spec_im, n: int):
     """Inverse of :func:`rfft_mxu`: one-sided ``[..., n//2+1]`` (re, im) ->
     real ``[..., n]``.  Rebuilds the hermitian spectrum with a static mirror
-    (cheap permutation) and runs the MXU inverse FFT."""
+    (cheap permutation) and runs the MXU inverse FFT.
+
+    Mirror of the forward pair-packing: when the flattened batch is even, two
+    hermitian spectra ride one complex inverse transform (Z = A + iB with A, B
+    hermitian ⇒ ifft(Z) = a + i·b, a and b real) — halving the MXU work.
+    """
     if not _is_pow2(n):
         out = jnp.fft.irfft(spec_re + 1j * spec_im, n=n, axis=-1)
         return out.astype(jnp.float32)
     half = n // 2  # bins = half + 1; remaining bins k = half+1..n-1 = conj(spec[n-k])
     full_re = jnp.concatenate([spec_re, spec_re[..., 1:half][..., ::-1]], axis=-1)
     full_im = jnp.concatenate([spec_im, -spec_im[..., 1:half][..., ::-1]], axis=-1)
+
+    batch_shape = full_re.shape[:-1]
+    total = int(np.prod(batch_shape)) if batch_shape else 1
+    if total >= 2 and total % 2 == 0:
+        fr = full_re.reshape(total // 2, 2, n)
+        fi = full_im.reshape(total // 2, 2, n)
+        z_re = fr[:, 0] - fi[:, 1]  # A + iB with both hermitian
+        z_im = fi[:, 0] + fr[:, 1]
+        a, b = ifft_mxu(z_re, z_im, n)
+        return jnp.stack([a, b], axis=1).reshape(*batch_shape, n)
+
     re, _ = ifft_mxu(full_re, full_im, n)
     return re
 

@@ -1,5 +1,6 @@
 """Waveform tests (reference waveform/processor.rs tests)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -194,3 +195,71 @@ def test_preview_progress_and_pending_column():
     # pending column holds sample 2 plus continuity sample 1
     assert float(snap.preview_min[0, 0]) == pytest.approx(-0.25)
     assert float(snap.preview_max[0, 0]) == pytest.approx(0.125)
+
+
+def test_band_window_means_match_bruteforce_with_reset():
+    """The block-ring trailing-window decomposition is exact: preview color
+    and fast/slow RMS equal a brute-force trailing mean over the filtered
+    band samples, through warmup, steady state, ring wraparound, and a
+    per-stream mid-run reset (which the ring handles by masking, not
+    zeroing)."""
+    from openmeters_tpu.analyzers.waveform import BAND_COLOR_GAINS
+    from openmeters_tpu.ops.iir import three_band_init, three_band_scan
+    from openmeters_tpu.utils.level import power_to_db
+
+    b = 32
+    cfg = WaveformConfig(
+        sample_rate=1000.0, scroll_speed=90.0, track_history=True, block_frames=b
+    )
+    ana = WaveformAnalyzer(cfg)
+    wc, ws = ana.color_window, ana.slow_window
+    assert ws > 2 * b and wc > b  # exercise whole-block + pair-suffix paths
+
+    rng = np.random.default_rng(7)
+    n_steps = 2 * ana.ring_blocks + 5  # wrap the ring twice
+    reset_at = ana.ring_blocks + 2
+    blocks = rng.standard_normal((n_steps, 2, b, 2)).astype(np.float32) * 0.5
+
+    carry = ana.init(2)
+    # brute-force mirror: filtered band history per stream (reset stream 1)
+    tb_ref = three_band_init((2, 2), 1)
+    hist = [np.zeros((0, 4, 3), np.float32), np.zeros((0, 4, 3), np.float32)]
+
+    for i in range(n_steps):
+        reset = np.array([False, i == reset_at])
+        carry, snap = ana.step(carry, blocks[i], reset_mask=jnp.asarray(reset))
+
+        if reset[1]:
+            tb_ref = tb_ref.at[..., 1, :].set(0.0)
+            hist[1] = np.zeros((0, 4, 3), np.float32)
+        lr = jnp.transpose(jnp.asarray(blocks[i]), (1, 0, 2))
+        fbands, tb_ref = three_band_scan(
+            lr, tb_ref, cfg.sample_rate, cascade_n=1, cascade_high=False
+        )
+        fb = np.asarray(fbands)  # [B, 3, S, 2]
+        fl, fr = fb[..., 0], fb[..., 1]
+        db = np.stack([fl, fr, (fl + fr) * 0.5, (fl - fr) * 0.5], -1)
+        db = np.transpose(db, (2, 0, 3, 1))  # [S, B, 4, 3]
+        for s_i in range(2):
+            hist[s_i] = np.concatenate([hist[s_i], db[s_i]], axis=0)
+
+        for s_i in range(2):
+            def trailing_mean(vals, w):
+                tail = vals[-w:]
+                return tail.sum(axis=0) / min(max(len(vals), 1), w)
+
+            cv = np.abs(hist[s_i]) * BAND_COLOR_GAINS
+            pw = hist[s_i] ** 2
+            np.testing.assert_allclose(
+                np.asarray(snap.preview_color)[s_i], trailing_mean(cv, wc),
+                rtol=2e-4, atol=2e-6,
+            )
+            want_fast = power_to_db(
+                jnp.asarray(np.maximum(trailing_mean(pw, wc), 0.0)), DB_FLOOR
+            )
+            want_slow = power_to_db(
+                jnp.asarray(np.maximum(trailing_mean(pw, ws), 0.0)), DB_FLOOR
+            )
+            got = np.asarray(snap.preview_rms_db)[s_i]
+            np.testing.assert_allclose(got[0], np.asarray(want_fast), atol=2e-3)
+            np.testing.assert_allclose(got[1], np.asarray(want_slow), atol=2e-3)
