@@ -122,16 +122,45 @@ def build_full_engine(n_streams_hint: int = 1024):
     return MeterEngine(cfg)
 
 
+def build_config5_engine():
+    """BASELINE configs[4]: oscilloscope stable trigger + stereometer
+    Lissajous/band correlation + waveform band history, one batched graph."""
+    from openmeters_tpu.analyzers.oscilloscope import OscilloscopeConfig
+    from openmeters_tpu.analyzers.stereometer import StereometerConfig
+    from openmeters_tpu.analyzers.waveform import WaveformConfig
+    from openmeters_tpu.engine import EngineConfig, MeterEngine
+
+    return MeterEngine(
+        EngineConfig(
+            channels=2,
+            loudness=None,
+            spectrogram=None,
+            spectrum=None,
+            oscilloscope=OscilloscopeConfig(trigger_every=3),
+            stereometer=StereometerConfig(analyze_bands=True),
+            waveform=WaveformConfig(analyze_bands=True, track_history=True),
+        )
+    )
+
+
 def main():
     if os.environ.get("OPENMETERS_BENCH_FULL"):
         eng = build_full_engine()
         for n in (1024,):
-            r = measure(eng, n, iters=8)
+            r = measure(eng, n, iters=64)
             print(
                 f"# full-suite S={r['n_streams']}: {r['step_ms']:.2f} ms/step, "
                 f"{r['streams_realtime']:.0f} streams realtime",
                 file=sys.stderr,
             )
+        eng5 = build_config5_engine()
+        r = measure(eng5, 1024, iters=64)
+        print(
+            f"# config5 (osc+stereo+waveform) S=1024: {r['step_ms']:.2f} ms/step, "
+            f"{r['streams_realtime']:.0f} streams realtime"
+            f" ({'REALTIME' if r['realtime'] else 'below realtime'})",
+            file=sys.stderr,
+        )
 
     engine = build_engine()
     best = None

@@ -181,9 +181,31 @@ class SpectrumAnalyzer:
         norm = fft_bin_normalization(w, cfg.fft_size)
         new_sdft = None
         if self.use_sliding:
-            # hop-rate sliding DFT columns (ops/sliding_stft.py)
-            new_sdft, power = self._sliding.step(carry["sdft"], info)
-            power = (power * norm).reshape(s, TRACE_COUNT, fb.cols_cap, self.bins)
+            # hop-rate sliding DFT columns (ops/sliding_stft.py).  With
+            # hop > block most engine steps emit no column, and the slide's
+            # result would be fully masked out — skip it under a scalar cond
+            # (ready is global: resets re-align to the hop grid).
+            from openmeters_tpu.ops.pallas_sliding import pallas_enabled
+
+            fused = pallas_enabled() and self._sliding.fused_fits_vmem
+
+            def advance(sdft):
+                if fused:
+                    return self._sliding.step_fused(
+                        sdft, info, norm, cfg.floor_db, emit_codes=False
+                    )
+                sdft2, p = self._sliding.step(sdft, info)
+                return sdft2, p * norm
+
+            def hold(sdft):
+                return sdft, jnp.zeros(
+                    (s * TRACE_COUNT, fb.cols_cap, self.bins), jnp.float32
+                )
+
+            new_sdft, power = jax.lax.cond(
+                info["ready"] > 0, advance, hold, carry["sdft"]
+            )
+            power = power.reshape(s, TRACE_COUNT, fb.cols_cap, self.bins)
         else:
             frames = fb.extract(info).reshape(s, TRACE_COUNT, fb.cols_cap, cfg.fft_size)
             mean = jnp.mean(frames, axis=-1, keepdims=True)

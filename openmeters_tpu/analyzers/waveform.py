@@ -221,11 +221,12 @@ class WaveformAnalyzer:
         col_max = jnp.where(col_any, col_max, 0.0)
         col_valid = ks[None, :] < e_tot[:, None]
 
-        # pending (preview) column lives at per-stream slot e_tot
-        take_slot = jax.vmap(lambda a, i: a[i])
+        # pending (preview) column lives at per-stream slot e_tot; one-hot
+        # reductions instead of vmap takes (serial per-row loops on TPU)
         pend_slot = jnp.minimum(e_tot, cap - 1)
-        pv_min = take_slot(col_min, pend_slot)
-        pv_max = take_slot(col_max, pend_slot)
+        slot_oh = (ks[None, :] == pend_slot[:, None]).astype(jnp.float32)
+        pv_min = jnp.einsum("sk,skd->sd", slot_oh, col_min)
+        pv_max = jnp.einsum("sk,skd->sd", slot_oh, col_max)
 
         # -- carries: pending min/max and continuity sample --------------------
         in_pend = (col == e_tot[:, None])[:, :, None] & fin  # [S, B, 4]
@@ -251,8 +252,9 @@ class WaveformAnalyzer:
         # and no non-finite sample arrived after it (processor.rs:270-289)
         bnd = (e_tot * q - r64[:, 0] + p - 1) // p - 1
         bnd = jnp.clip(bnd, 0, b - 1)  # [S]
-        bval = take_slot(derived, bnd)  # [S, 4]
-        bfin = take_slot(fin, bnd)
+        bnd_oh = (n[None, :] == bnd[:, None]).astype(jnp.float32)
+        bval = jnp.einsum("sb,sbd->sd", bnd_oh, derived)  # [S, 4]
+        bfin = jnp.einsum("sb,sbd->sd", bnd_oh, fin.astype(jnp.float32)) > 0.5
         after = n[None, :] > bnd[:, None]  # [S, B]
         bad_after = jnp.any(after[:, :, None] & ~fin, axis=1)
         bad_any = jnp.any(~fin, axis=1)
@@ -332,24 +334,27 @@ class WaveformAnalyzer:
                 mask = (ages[None, :] < a0) & (ages[None, :] < blocks_cnt[:, None])
                 return jnp.sum(jnp.where(mask[:, :, None], tot_ring, 0.0), axis=1)
 
-            gather = jax.vmap(lambda a_, i: a_[i])
-
             def window_means(new_vals, pair_vals, base_tot, window: int):
                 """Trailing mean over `window` samples ending at pos_all
                 (inclusive): new-block prefix + whole-block totals + a suffix
-                of the two ~window-aged ring blocks."""
+                of the two ~window-aged ring blocks.  The prefix/suffix sums
+                at the few emission positions run as masked batched matmuls
+                (MXU) — cumsum lowers to a pad-chain and per-row gathers to
+                serial loops on TPU."""
                 a0 = self._block_age(window)
-                csum = jnp.cumsum(new_vals, axis=1)
-                prefix = jnp.concatenate([jnp.zeros_like(csum[:, :1]), csum], axis=1)
-                rev = jnp.cumsum(pair_vals[:, ::-1], axis=1)
-                sufx = jnp.concatenate([jnp.zeros_like(rev[:, :1]), rev], axis=1)
                 m = window - 1 - pos_all  # [S, cap+1] history samples needed
                 idx = jnp.clip(m - a0 * b, 0, 2 * b)
-                total = (
-                    gather(prefix, pos_all + 1)
-                    + gather(sufx, idx)
-                    + base_tot[:, None, :]
-                )  # [S, cap+1, lanes]
+                bidx = np.arange(b, dtype=np.int32)
+                new_mask = (
+                    bidx[None, None, :] <= pos_all[:, :, None]
+                ).astype(jnp.float32)
+                newsum = jnp.einsum("spb,sbl->spl", new_mask, new_vals)
+                pidx = np.arange(2 * b, dtype=np.int32)
+                pair_mask = (
+                    pidx[None, None, :] >= (2 * b - idx)[:, :, None]
+                ).astype(jnp.float32)
+                hist = jnp.einsum("spb,sbl->spl", pair_mask, pair_vals)
+                total = newsum + hist + base_tot[:, None, :]  # [S, cap+1, lanes]
                 n_at = jnp.minimum(
                     (count[:, None] + pos_all + 1).astype(jnp.float32), float(window)
                 )

@@ -49,6 +49,14 @@ class SlidingSTFT:
         return n >= 64 and (n & (n - 1)) == 0 and self.hop * 2 <= n
 
     @property
+    def fused_fits_vmem(self) -> bool:
+        """The fused Pallas hop holds the ``[hop, bins]`` delta-DFT constants
+        (re+im) plus per-tile state in VMEM; large-FFT configs (the stock
+        16384/1024 spectrum) exceed the ~16 MB scoped limit and must use the
+        XLA path."""
+        return 2 * 4 * self.hop * self.bins <= 6 * 2**20
+
+    @property
     def frames(self) -> FrameBuffer:
         return FrameBuffer(self.fft_size, self.hop, self.block)
 
