@@ -23,16 +23,23 @@ _BUILD_LOCK = threading.Lock()
 
 
 def _build() -> pathlib.Path:
+    # OPENMETERS_TSAN=1 builds (and caches separately) a ThreadSanitizer
+    # instrumented library so the SPSC transport's acquire/release protocol
+    # is race-checked by the same tests that exercise it (§5.2; the
+    # reference's answer is `forbid(unsafe_code)` — TSan is ours).
+    tsan = bool(os.environ.get("OPENMETERS_TSAN"))
+    lib = _LIB.with_name("_transport_tsan.so") if tsan else _LIB
     with _BUILD_LOCK:
         src_mtime = max(s.stat().st_mtime for s in _SRCS)
-        if _LIB.exists() and _LIB.stat().st_mtime >= src_mtime:
-            return _LIB
+        if lib.exists() and lib.stat().st_mtime >= src_mtime:
+            return lib
         cmd = [
             "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-            "-o", str(_LIB), *map(str, _SRCS),
+            *(["-fsanitize=thread", "-g"] if tsan else []),
+            "-o", str(lib), *map(str, _SRCS),
         ]
         subprocess.run(cmd, check=True, capture_output=True)
-        return _LIB
+        return lib
 
 
 def _load():

@@ -69,3 +69,36 @@ def test_irfft_roundtrip(rng):
         )
     )
     assert np.max(np.abs(got - x)) < 1e-5
+
+
+def test_spectral_parity_vs_f32_reference_path():
+    """BASELINE bar: "outputs matching the Rust CPU path ... <= -100 dB
+    spectral error".  The Rust path is f32 end-to-end (DC-removed windowed
+    frame -> realfft f32); its semantics are reproduced here with scipy's
+    f32 rfft (complex64 transform).  Spectral error is the standard
+    amplitude metric: max |A_ours - A_ref| / max |A_ref| in 20*log10 dB.
+    Measured: -141 dB on v5e MXU (HIGHEST), -136 dB on the CPU test mesh.
+    (A *power-difference* metric saturates near -70 dB for ANY pair of f32
+    pipelines - even the reference against itself recomputed - because
+    |p1-p2| ~ 2*a*da; the -100 dB bar is only meaningful in amplitude.)
+    """
+    import scipy.fft
+
+    from openmeters_tpu.utils.windows import WindowKind, window_coefficients
+
+    n = 2048
+    t = np.arange(n)
+    x = (
+        0.7 * np.sin(2 * np.pi * 441.3 * t / 48_000.0)
+        + 0.1 * np.sin(2 * np.pi * 7000.0 * t / 48_000.0)
+    ).astype(np.float32)
+    w = np.asarray(window_coefficients(WindowKind.HANN, n), np.float32)
+    frame32 = ((x - np.float32(x.astype(np.float64).mean())) * w).astype(np.float32)
+
+    ref32 = scipy.fft.rfft(frame32)  # f32 transform, reference semantics
+    assert ref32.dtype == np.complex64
+    ours = np.asarray(rfft_mxu(frame32[None]))[0]
+
+    err = np.max(np.abs(ours - ref32)) / np.max(np.abs(ref32))
+    err_db = 20 * np.log10(max(err, 1e-30))
+    assert err_db <= -100.0, f"spectral error {err_db:.1f} dB"
