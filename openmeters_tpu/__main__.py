@@ -59,8 +59,8 @@ def cmd_analyze(args) -> int:
     if "oscilloscope" in last:
         osc = last["oscilloscope"]
         out["oscilloscope"] = {
-            "locked": bool(osc.locked[0]),
-            "period_samples": float(osc.period[0]),
+            "locked": bool(np.asarray(osc.locked)[0].any()),
+            "period_samples": float(np.asarray(osc.period)[0].max()),
         }
     if "stereometer" in last:
         st = last["stereometer"]

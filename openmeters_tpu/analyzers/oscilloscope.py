@@ -90,13 +90,17 @@ class OscilloscopeConfig:
 
 
 class OscilloscopeSnapshot(NamedTuple):
-    samples: jnp.ndarray  # [S, 2, OUTPUT_POINTS] resampled traces
+    """Per-trace capture metadata: with a linked trigger (matching trace or
+    separate source) every trace shares one capture; with no trigger source
+    each active trace carries its own (processor.rs:684-700)."""
+
+    samples: jnp.ndarray  # [S, 2, window_cap] raw capture windows
     trace_valid: jnp.ndarray  # [S, 2]
-    span: jnp.ndarray  # [S] capture span in samples
-    start: jnp.ndarray  # [S] capture start index within the history window
-    frac: jnp.ndarray  # [S] fractional start offset
-    period: jnp.ndarray  # [S] locked period (samples), 0 when unlocked
-    locked: jnp.ndarray  # [S] bool — stable trigger lock
+    span: jnp.ndarray  # [S, 2] capture span in samples
+    start: jnp.ndarray  # [S, 2] capture start index within the history window
+    frac: jnp.ndarray  # [S, 2] fractional start offset
+    period: jnp.ndarray  # [S, 2] locked period (samples), 0 when unlocked
+    locked: jnp.ndarray  # [S, 2] bool — stable trigger lock
 
 
 @dataclasses.dataclass(frozen=True)
@@ -224,31 +228,51 @@ class OscilloscopeAnalyzer:
             self.trigger_slot == 2 and self.config.trigger_source is not Channel.NONE
         )
 
+    @property
+    def independent_triggers(self) -> bool:
+        """reference processor.rs:684-700: with no trigger source each active
+        trace runs its *own* trigger state; a matching trace or separate
+        source yields one linked capture shared by all traces."""
+        return self.config.trigger_source is Channel.NONE and any(self.active_traces)
+
+    @property
+    def trigger_lane_slots(self) -> tuple[int, ...]:
+        """History-ring slots feeding the trigger lanes (1 linked lane, or
+        one lane per active trace when independent)."""
+        if self.independent_triggers:
+            return tuple(t for t in range(TRACE_COUNT) if self.active_traces[t])
+        return (self.trigger_slot if self.trigger_slot < 2 else 2,)
+
+    @property
+    def n_trig(self) -> int:
+        return len(self.trigger_lane_slots)
+
     # -- state ----------------------------------------------------------------
 
     def init(self, n_streams: int) -> dict:
         s = n_streams
         k = self.kernel_cap
+        lanes = s * self.n_trig  # stream-major flattening: lane = s*n + i
         carry = {
             "hist": jnp.zeros((s, 3, self.history_frames), jnp.float32),
             "fresh": jnp.zeros((s,), jnp.int32),
             "tick": jnp.zeros((), jnp.int32),
-            # stable-trigger state (single linked/source trigger)
-            "period": jnp.zeros((s,), jnp.float32),
-            "has_period": jnp.zeros((s,), bool),
-            "missed": jnp.zeros((s,), jnp.int32),
-            "mean": jnp.zeros((s,), jnp.float32),
-            "reference": jnp.zeros((s, k), jnp.float32),
-            "ref_period": jnp.zeros((s,), jnp.float32),
-            "ref_len": jnp.zeros((s,), jnp.int32),
+            # stable-trigger state: 1 linked lane, or 1 per active trace
+            "period": jnp.zeros((lanes,), jnp.float32),
+            "has_period": jnp.zeros((lanes,), bool),
+            "missed": jnp.zeros((lanes,), jnp.int32),
+            "mean": jnp.zeros((lanes,), jnp.float32),
+            "reference": jnp.zeros((lanes, k), jnp.float32),
+            "ref_period": jnp.zeros((lanes,), jnp.float32),
+            "ref_len": jnp.zeros((lanes,), jnp.int32),
         }
         if max(int(self.config.trigger_every), 1) > 1:
             carry["snap"] = {
                 "samples": jnp.zeros((s, TRACE_COUNT, self.window_cap), jnp.float32),
                 "trace_valid": jnp.zeros((s, TRACE_COUNT), bool),
-                "span": jnp.zeros((s,), jnp.float32),
-                "start": jnp.zeros((s,), jnp.int32),
-                "frac": jnp.zeros((s,), jnp.float32),
+                "span": jnp.zeros((s, TRACE_COUNT), jnp.float32),
+                "start": jnp.zeros((s, TRACE_COUNT), jnp.int32),
+                "frac": jnp.zeros((s, TRACE_COUNT), jnp.float32),
             }
         return carry
 
@@ -271,9 +295,9 @@ class OscilloscopeAnalyzer:
             specs["snap"] = {
                 "samples": P(axis, None, None),
                 "trace_valid": P(axis, None),
-                "span": P(axis),
-                "start": P(axis),
-                "frac": P(axis),
+                "span": P(axis, None),
+                "start": P(axis, None),
+                "frac": P(axis, None),
             }
         return specs
 
@@ -639,6 +663,9 @@ class OscilloscopeAnalyzer:
         s, b, _ = block.shape
         hist_len = self.history_frames
 
+        n_trig = self.n_trig
+        lane_slots = self.trigger_lane_slots
+
         fresh = carry["fresh"]
         state = {k: carry[k] for k in
                  ("period", "has_period", "missed", "mean", "reference", "ref_period", "ref_len")}
@@ -647,10 +674,11 @@ class OscilloscopeAnalyzer:
             rm = reset_mask
             fresh = jnp.where(rm, 0, fresh)
             hist = jnp.where(rm[:, None, None], 0.0, hist)
+            rml = jnp.repeat(rm, n_trig)  # stream-major trigger lanes
             for k in state:
                 z = jnp.zeros_like(state[k])
                 state[k] = jnp.where(
-                    rm[:, None] if state[k].ndim == 2 else rm, z, state[k]
+                    rml[:, None] if state[k].ndim == 2 else rml, z, state[k]
                 )
         fresh = jnp.minimum(fresh + b, jnp.int32(2**30))
 
@@ -668,14 +696,25 @@ class OscilloscopeAnalyzer:
             hist = jnp.concatenate([hist, newest], axis=-1)[:, :, -hist_len:]
 
         fresh_ok = fresh >= jnp.int32(min(self.base_frames, hist_len))
-        trig_trace = hist[:, self.trigger_slot if self.trigger_slot < 2 else 2]
+        # trigger inputs: [S * n_trig, hist], stream-major lanes
+        trig_flat = hist[:, np.asarray(lane_slots)].reshape(s * n_trig, hist_len)
+        fresh_lane = jnp.repeat(fresh_ok, n_trig)
 
         def run_trigger(state):
             if cfg.trigger_mode is TriggerMode.ZERO_CROSSING:
-                capture = self._zero_crossing_capture(trig_trace, fresh_ok)
+                capture = self._zero_crossing_capture(trig_flat, fresh_lane)
                 new_state = state
             else:
-                new_state, capture = self._stable_capture(state, trig_trace, fresh_ok)
+                new_state, capture = self._stable_capture(state, trig_flat, fresh_lane)
+            cap2 = {k: v.reshape(s, n_trig) for k, v in capture.items()}
+
+            def trace_cap(key, t):
+                """Per-trace capture: its own lane when independent, else the
+                single linked lane (processor.rs:684-700)."""
+                if self.independent_triggers:
+                    return cap2[key][:, lane_slots.index(t)]
+                return cap2[key][:, 0]
+
             # capture windows: raw contiguous samples per trace (the
             # reference's linear downsample to <=4096 points happens
             # render-side, views.resample_trace — raw samples carry strictly
@@ -689,26 +728,35 @@ class OscilloscopeAnalyzer:
             if active:
                 a = len(active)
                 sig = hist[:, jnp.asarray(active)].reshape(s * a, hist_len)
-                starts = jnp.repeat(capture["start"], a)
+                starts = jnp.stack(
+                    [trace_cap("start", t) for t in active], axis=1
+                ).reshape(s * a)
                 win = window_rows(sig, starts, self.window_cap).reshape(
                     s, a, self.window_cap
                 )
                 extracted = {t: win[:, i] for i, t in enumerate(active)}
             samples = []
             valids = []
+            spans, starts_o, fracs = [], [], []
             for t in range(TRACE_COUNT):
                 if not self.active_traces[t]:
                     samples.append(jnp.zeros((s, self.window_cap), jnp.float32))
                     valids.append(jnp.zeros((s,), bool))
+                    spans.append(jnp.zeros((s,), jnp.float32))
+                    starts_o.append(jnp.zeros((s,), jnp.int32))
+                    fracs.append(jnp.zeros((s,), jnp.float32))
                     continue
                 samples.append(extracted[t])
-                valids.append(capture["valid"])
+                valids.append(trace_cap("valid", t))
+                spans.append(trace_cap("span", t))
+                starts_o.append(trace_cap("start", t))
+                fracs.append(trace_cap("frac", t))
             snap = {
                 "samples": jnp.stack(samples, axis=1),
                 "trace_valid": jnp.stack(valids, axis=1),
-                "span": capture["span"],
-                "start": capture["start"],
-                "frac": capture["frac"],
+                "span": jnp.stack(spans, axis=1),
+                "start": jnp.stack(starts_o, axis=1),
+                "frac": jnp.stack(fracs, axis=1),
             }
             return new_state, snap
 
@@ -726,8 +774,23 @@ class OscilloscopeAnalyzer:
                 state,
             )
 
-        locked = new_state["has_period"] if cfg.trigger_mode is TriggerMode.STABLE else jnp.zeros((s,), bool)
-        period = new_state["period"] if cfg.trigger_mode is TriggerMode.STABLE else jnp.zeros((s,), jnp.float32)
+        if cfg.trigger_mode is TriggerMode.STABLE:
+            lock2 = new_state["has_period"].reshape(s, n_trig)
+            per2 = new_state["period"].reshape(s, n_trig)
+            locked_t, period_t = [], []
+            for t in range(TRACE_COUNT):
+                if not self.active_traces[t]:
+                    locked_t.append(jnp.zeros((s,), bool))
+                    period_t.append(jnp.zeros((s,), jnp.float32))
+                else:
+                    i = lane_slots.index(t) if self.independent_triggers else 0
+                    locked_t.append(lock2[:, i])
+                    period_t.append(per2[:, i])
+            locked = jnp.stack(locked_t, axis=1)
+            period = jnp.stack(period_t, axis=1)
+        else:
+            locked = jnp.zeros((s, TRACE_COUNT), bool)
+            period = jnp.zeros((s, TRACE_COUNT), jnp.float32)
 
         new_carry = {"hist": hist, "fresh": fresh, "tick": tick + 1, **new_state}
         if every > 1:

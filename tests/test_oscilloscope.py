@@ -58,7 +58,7 @@ def feed(ana, carry, signal, mono=True):
 
 
 def detected_rate(snap):
-    p = float(snap.period[0])
+    p = float(snap.period[0, 0])
     return RATE / p if p > 0 else None
 
 
@@ -93,7 +93,7 @@ def test_lock_acquisition_on_clean_sine():
     ana = OscilloscopeAnalyzer(stable_config())
     carry = ana.init(1)
     carry, snaps = feed(ana, carry, sine(440.0, BLOCK * 20))
-    locked_at = next((i for i, s in enumerate(snaps) if bool(s.locked[0])), None)
+    locked_at = next((i for i, s in enumerate(snaps) if bool(s.locked[0, 0])), None)
     assert locked_at is not None and locked_at <= 10
     det = detected_rate(snaps[-1])
     assert det is not None and abs(det - 440.0) < 20.0
@@ -126,9 +126,9 @@ def test_silence_has_no_lock_then_onset_locks():
     ana = OscilloscopeAnalyzer(stable_config())
     carry = ana.init(1)
     carry, snaps = feed(ana, carry, np.zeros(BLOCK * 10, np.float32))
-    assert not any(bool(s.locked[0]) for s in snaps)
+    assert not any(bool(s.locked[0, 0]) for s in snaps)
     carry, snaps = feed(ana, carry, sine(440.0, BLOCK * 20))
-    locked_at = next((i for i, s in enumerate(snaps) if bool(s.locked[0])), None)
+    locked_at = next((i for i, s in enumerate(snaps) if bool(s.locked[0, 0])), None)
     assert locked_at is not None and locked_at <= 10
 
 
@@ -137,12 +137,12 @@ def test_aperiodic_holdover_is_bounded():
     ana = OscilloscopeAnalyzer(stable_config())
     carry = ana.init(1)
     carry, snaps = feed(ana, carry, sine(440.0, BLOCK * 20))
-    assert bool(snaps[-1].locked[0])
+    assert bool(snaps[-1].locked[0, 0])
     nz = noise(BLOCK * 20)
     carry, snaps = feed(ana, carry, nz[:BLOCK])
-    assert bool(snaps[-1].locked[0]), "brief aperiodic input should hold lock"
+    assert bool(snaps[-1].locked[0, 0]), "brief aperiodic input should hold lock"
     carry, snaps = feed(ana, carry, nz[BLOCK:])
-    released = next((i for i, s in enumerate(snaps) if not bool(s.locked[0])), None)
+    released = next((i for i, s in enumerate(snaps) if not bool(s.locked[0, 0])), None)
     assert released is not None and released <= 8
 
 
@@ -170,14 +170,14 @@ def test_stable_trigger_limits_phase_jitter(name, wave):
         blk = signal[i * BLOCK : (i + 1) * BLOCK]
         stereo = np.stack([blk, blk], axis=-1)[None]
         carry, snap = ana.step(carry, stereo)
-        if 20 <= i < 60 and bool(snap.locked[0]):
+        if 20 <= i < 60 and bool(snap.locked[0, 0]):
             # absolute capture position = samples consumed so far - hist + start
             consumed = (i + 1) * BLOCK
             pos = (
                 consumed
                 - ana.history_frames
-                + float(snap.start[0])
-                + float(snap.frac[0])
+                + float(snap.start[0, 0])
+                + float(snap.frac[0, 0])
             )
             if first is None:
                 first = pos
@@ -206,7 +206,7 @@ def test_zero_crossing_edges_near_zero():
     from openmeters_tpu.views import resample_trace
 
     trace = resample_trace(
-        np.asarray(snap.samples)[0, 0], float(snap.span[0]), float(snap.frac[0])
+        np.asarray(snap.samples)[0, 0], float(snap.span[0, 0]), float(snap.frac[0, 0])
     )
     assert 0.0 < trace[0] < 0.15, "left edge should sit just after a rising zero"
     assert abs(trace[-1]) < 0.15, "right edge should end near a zero"
@@ -225,12 +225,12 @@ def test_linked_trigger_preserves_inverted_stereo_phase():
         blk = mono[i * BLOCK : (i + 1) * BLOCK]
         stereo = np.stack([blk, -blk], axis=-1)[None]
         carry, snap = ana.step(carry, stereo)
-    assert bool(snap.locked[0])
+    assert bool(snap.locked[0, 0])
     det = detected_rate(snap)
     assert det is not None and abs(det - 440.0) < 20.0
     from openmeters_tpu.views import resample_trace
 
-    span, frac = float(snap.span[0]), float(snap.frac[0])
+    span, frac = float(snap.span[0, 0]), float(snap.frac[0, 0])
     a = resample_trace(np.asarray(snap.samples)[0, 0], span, frac)
     b = resample_trace(np.asarray(snap.samples)[0, 1], span, frac)
     corr = float(np.dot(a, b) / np.sqrt(np.dot(a, a) * np.dot(b, b)))
@@ -241,9 +241,60 @@ def test_reset_clears_lock():
     ana = OscilloscopeAnalyzer(stable_config())
     carry = ana.init(1)
     carry, snaps = feed(ana, carry, sine(440.0, BLOCK * 20))
-    assert bool(snaps[-1].locked[0])
+    assert bool(snaps[-1].locked[0, 0])
     blk = np.zeros((1, BLOCK, 2), np.float32)
     carry, snap = ana.step(carry, blk, reset_mask=np.array([True]))
-    assert not bool(snap.locked[0])
+    assert not bool(snap.locked[0, 0])
     # post-reset history is cleared: the fallback capture sees pure silence
     assert np.all(np.asarray(snap.samples)[0] == 0.0)
+
+
+def test_independent_triggers_without_source():
+    """With no trigger source each active trace runs its own trigger
+    (reference processor.rs:684-700): L and R carrying different
+    frequencies both lock, each to its own period."""
+    cfg = stable_config(
+        trigger_source=Channel.NONE,
+        channel_1=Channel.LEFT,
+        channel_2=Channel.RIGHT,
+    )
+    ana = OscilloscopeAnalyzer(cfg)
+    assert ana.independent_triggers and ana.n_trig == 2
+
+    frames = BLOCK * 40
+    left = sine(220.0, frames)
+    right = sine(347.0, frames)
+    carry = ana.init(1)
+    snap = None
+    for i in range(frames // BLOCK):
+        stereo = np.stack(
+            [left[i * BLOCK : (i + 1) * BLOCK], right[i * BLOCK : (i + 1) * BLOCK]],
+            axis=-1,
+        )[None]
+        carry, snap = ana.step(carry, stereo)
+
+    locked = np.asarray(snap.locked)[0]
+    period = np.asarray(snap.period)[0]
+    assert locked[0] and locked[1], locked
+    assert abs(period[0] - RATE / 220.0) < 2.0, period
+    assert abs(period[1] - RATE / 347.0) < 2.0, period
+    # each trace is aligned by its own capture, so starts differ in general
+    assert np.asarray(snap.trace_valid)[0].all()
+
+
+def test_linked_trigger_shares_one_capture():
+    """A matching trigger source yields one linked capture shared by both
+    traces: identical span/start/frac across trace slots."""
+    cfg = stable_config(
+        trigger_source=Channel.LEFT,
+        channel_1=Channel.LEFT,
+        channel_2=Channel.RIGHT,
+    )
+    ana = OscilloscopeAnalyzer(cfg)
+    assert not ana.independent_triggers and ana.n_trig == 1
+
+    carry, snaps = feed(ana, ana.init(1), sine(220.0, BLOCK * 30))
+    snap = snaps[-1]
+    assert bool(np.asarray(snap.locked)[0, 0])
+    np.testing.assert_array_equal(np.asarray(snap.span)[0, 0], np.asarray(snap.span)[0, 1])
+    np.testing.assert_array_equal(np.asarray(snap.start)[0, 0], np.asarray(snap.start)[0, 1])
