@@ -1,0 +1,175 @@
+"""Hermetic session-runtime integration: real producer processes over a
+Unix socket driving the transport under churn.
+
+The reference's answer to "multi-node without a cluster" is to spawn the
+real middleware in isolation (live_tests.rs:153-342: private PipeWire +
+WirePlumber + audiotestsrc fixtures, then graph-invariant gauntlets).  The
+TPU rebuild's middleware boundary is the SessionRuntime socket protocol, so
+these tests spawn *real OS producer processes* (openmeters_tpu.ingest
+.producer) and assert the routing/reset/recovery invariants end to end:
+identity -> slot routing, remembered re-acquisition after disconnects,
+format-generation resets, truncation, and kill -9 churn.
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from openmeters_tpu.ingest import Transport
+from openmeters_tpu.ingest.runtime import ProducerClient, SessionRuntime
+
+RATE = 48_000.0
+BLOCK = 256
+
+
+@pytest.fixture()
+def runtime(tmp_path):
+    tp = Transport(n_streams=2, channels=2, block_frames=BLOCK, sample_rate=RATE)
+    sock = str(tmp_path / "om.sock")
+    rt = SessionRuntime(tp, sock)
+    yield tp, rt, sock
+    rt.shutdown()
+
+
+def spawn_producer(sock, *args):
+    return subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "openmeters_tpu.ingest.producer",
+            "--socket",
+            sock,
+            *map(str, args),
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+
+
+def drain(tp, hops=400, sleep=0.002):
+    """Assemble until backlog drains; returns (per-slot nonzero frame counts,
+    per-slot reset counts)."""
+    filled = np.zeros(tp.n_streams, np.int64)
+    resets = np.zeros(tp.n_streams, np.int64)
+    for _ in range(hops):
+        batch, reset, underrun, live = tp.assemble()
+        filled += np.count_nonzero(np.asarray(batch)[:, :, 0], axis=1)
+        resets += np.asarray(reset).astype(np.int64)
+        time.sleep(sleep)
+    return filled, resets
+
+
+def test_two_producers_route_by_identity(runtime):
+    tp, rt, sock = runtime
+    # long realtime streams so both are live at once (process startup in
+    # this image pays a ~3 s sitecustomize JAX import); terminated after
+    # the assertions rather than run to completion
+    p1 = spawn_producer(
+        sock, "--app-name", "alpha", "--freq", "220", "--seconds", "60", "--realtime"
+    )
+    slot1 = int(p1.stdout.readline().split()[1])  # connected, still live
+    p2 = spawn_producer(
+        sock, "--app-name", "beta", "--freq", "347", "--seconds", "60", "--realtime"
+    )
+    slot2 = int(p2.stdout.readline().split()[1])
+    try:
+        assert {slot1, slot2} == {0, 1}
+        # drain while both are live (disconnect faults discard the backlog)
+        filled, _ = drain(tp, hops=300, sleep=0.004)
+    finally:
+        p1.terminate()
+        p2.terminate()
+        p1.wait(timeout=10)
+        p2.wait(timeout=10)
+
+    assert filled[slot1] > 0.2 * RATE and filled[slot2] > 0.2 * RATE
+
+    view = rt.view()
+    assert view["links"]["app.name:alpha"]["slot"] == slot1
+    assert view["links"]["app.name:beta"]["slot"] == slot2
+    assert not view["truncated"]
+
+
+def test_reconnect_reacquires_remembered_slot(runtime):
+    tp, rt, sock = runtime
+    p = spawn_producer(sock, "--app-name", "alpha", "--seconds", "0.2")
+    out, _ = p.communicate(timeout=30)
+    slot_first = int(out.split()[1])
+    drain(tp, hops=60, sleep=0)
+
+    # an unrelated producer appears meanwhile — must NOT steal alpha's slot
+    q = spawn_producer(sock, "--app-name", "other", "--seconds", "0.1")
+    q.communicate(timeout=30)
+
+    p2 = spawn_producer(sock, "--app-name", "alpha", "--seconds", "0.2")
+    out2, _ = p2.communicate(timeout=30)
+    slot_second = int(out2.split()[1])
+    assert slot_second == slot_first  # remembered identity re-acquired
+
+    # the reconnect bumped the generation: exactly one reset on that slot
+    _, resets = drain(tp, hops=80, sleep=0)
+    assert resets[slot_first] >= 1
+
+
+def test_truncation_refuses_excess_producers(runtime):
+    tp, rt, sock = runtime
+    keep = []
+    for name in ("a", "b"):
+        c = ProducerClient(sock, {"app_name": name})
+        assert c.connect() is not None
+        keep.append(c)
+    c3 = ProducerClient(sock, {"app_name": "c"})
+    assert c3.connect() is None  # Plan::truncated
+    assert rt.view()["truncated"]
+    for c in keep:
+        c.close()
+
+
+def test_format_switch_resets_at_boundary(runtime):
+    tp, rt, sock = runtime
+    p = spawn_producer(
+        sock, "--app-name", "alpha", "--seconds", "1.0", "--realtime",
+        "--format-switch-at", "0.5",
+    )
+    slot = int(p.stdout.readline().split()[1])
+    # drain while live: the disconnect fault at stream end discards backlog
+    _, resets = drain(tp, hops=300, sleep=0.004)
+    p.communicate(timeout=30)
+    assert p.returncode == 0
+    # one reset for the initial generation, one for the renegotiation
+    assert resets[slot] >= 2
+
+
+def test_kill_churn_releases_and_recovers(runtime):
+    tp, rt, sock = runtime
+    p = spawn_producer(
+        sock, "--app-name", "alpha", "--seconds", "30", "--realtime"
+    )
+    # wait for the slot announcement, then kill -9 mid-stream
+    line = p.stdout.readline()
+    slot = int(line.split()[1])
+    time.sleep(0.3)
+    os.kill(p.pid, signal.SIGKILL)
+    p.wait(timeout=10)
+
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        if rt.view()["links"]["app.name:alpha"]["slot"] == slot and not any(
+            k == "app.name:alpha" for k in rt.view()["active"]
+        ):
+            break
+        time.sleep(0.05)
+    assert "app.name:alpha" not in rt.view()["active"]
+    assert "app.name:alpha" in rt.view()["remembered"]
+
+    # recovery: the same identity comes back and lands on its old slot
+    p2 = spawn_producer(sock, "--app-name", "alpha", "--seconds", "0.1")
+    out2, _ = p2.communicate(timeout=30)
+    assert int(out2.split()[1]) == slot
