@@ -90,3 +90,69 @@ def test_reassigned_accumulate_end_to_end():
     peak_bin = int(np.argmax(img.sum(axis=0)))
     expected = FrequencyScale.LOGARITHMIC.pos_of(20.0, 24_000.0, 1000.0) * 256
     assert abs(peak_bin - expected) <= 1
+
+
+def test_spectrogram_zoom_pan_uv_mapping():
+    from openmeters_tpu.views import spectrogram_uv_y_range, spectrogram_zoom_at
+
+    assert spectrogram_uv_y_range(1.0, 0.5) == (0.0, 1.0)
+    lo, hi = spectrogram_uv_y_range(2.0, 0.5)
+    assert (lo, hi) == (0.25, 0.75)
+    # pan clamps so the window stays inside [0, 1]
+    lo, hi = spectrogram_uv_y_range(2.0, 0.0)
+    assert lo == 0.0 and hi == 0.5
+
+    # cursor-anchored zoom keeps the UV under the cursor fixed (state.rs:355)
+    zoom, pan = 1.0, 0.5
+    y = 0.3
+    lo0, hi0 = spectrogram_uv_y_range(zoom, pan)
+    uv_before = lo0 + y * (hi0 - lo0)
+    zoom, pan = spectrogram_zoom_at(zoom, pan, y, 1.15)
+    lo1, hi1 = spectrogram_uv_y_range(zoom, pan)
+    uv_after = lo1 + y * (hi1 - lo1)
+    assert abs(uv_before - uv_after) < 1e-6
+
+
+def test_crosshair_readout_freq_note_time():
+    from openmeters_tpu.utils.frequency import FrequencyScale
+    from openmeters_tpu.views import crosshair_readout, spectrogram_display_axis
+
+    rate = 48_000.0
+    lo, nyq = spectrogram_display_axis(rate)
+    scale = FrequencyScale.LOGARITHMIC
+    # position of 440 Hz on the axis (rotation 0: y grows downward)
+    t = float(scale.pos_of(lo, nyq, 440.0))
+    out = crosshair_readout(
+        0.5, 1.0 - t, uv_range=(0.0, 1.0), sample_rate=rate, scale=scale,
+        rotation=0, col_count=100, hop_size=64, age_px=10.0,
+    )
+    assert abs(out["freq_hz"] - 440.0) < 0.5
+    assert out["note"].startswith("A4")
+    assert abs(out["time_ago_s"] - 10 * 64 / rate) < 1e-9
+    # out-of-history ages read as None (state.rs:331)
+    out2 = crosshair_readout(
+        0.5, 1.0 - t, uv_range=(0.0, 1.0), sample_rate=rate, scale=scale,
+        rotation=0, col_count=5, hop_size=64, age_px=10.0,
+    )
+    assert out2["time_ago_s"] is None
+
+
+def test_piano_roll_keys_tile_without_gaps():
+    from openmeters_tpu.utils.frequency import FrequencyScale
+    from openmeters_tpu.views import piano_roll_keys
+
+    keys = piano_roll_keys((0.0, 1.0), 48_000.0, FrequencyScale.LOGARITHMIC)
+    assert keys, "visible range must contain keys"
+    whites = [k for k in keys if not k["black"]]
+    blacks = [k for k in keys if k["black"]]
+    assert whites and blacks
+    # white keys tile the axis: consecutive whites share a boundary
+    whites.sort(key=lambda k: k["freq_hz"])
+    for a, b in zip(whites[:-1], whites[1:], strict=False):
+        if a["extent"][1] >= 1.0 or b["extent"][0] <= 0.0:
+            continue  # clipped at the visible edge
+        assert abs(a["extent"][1] - b["extent"][0]) < 1e-6, (a, b)
+    # every black key nests inside the union of its white neighbors
+    for k in blacks:
+        a, b = k["extent"]
+        assert 0.0 <= a < b <= 1.0
