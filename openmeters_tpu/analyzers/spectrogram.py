@@ -217,12 +217,42 @@ class SpectrogramAnalyzer:
         fb_carry, info = fb.advance(carry["fb"], block, reset_mask)
         new_carry = {"fb": fb_carry}
         if self.config.use_reassignment:
-            out = self._reassigned(fb.extract(info), info["valid"])
+            out = self._gated(info, self._reassigned)
         elif self.use_sliding:
             new_carry["sdft"], out = self._classic_sliding(carry["sdft"], info)
         else:
-            out = self._classic(fb.extract(info), info["valid"])
+            out = self._gated(info, self._classic)
         return new_carry, out
+
+    def _gated(self, info, compute):
+        """Skip the whole column pipeline on hops where no window is ready
+        (hop > block configs emit columns only every ``ceil(hop/block)``
+        steps; the spectrum analyzer gates the same way).  ``ready`` is a
+        global scalar — resets realign to the hop grid — so this is one
+        scalar ``lax.cond``."""
+        fb = self._frames
+        if self.config.hop_size <= self.config.block_frames:
+            return compute(fb.extract(info), info["valid"])
+        lanes = info["valid"].shape[0]
+        cap, bins = self.cols_cap, self.bins
+        if self.config.use_reassignment:
+            empty = ReassignedColumns(
+                freq_hz=jnp.zeros((lanes, cap, bins), jnp.float32),
+                time_offset=jnp.zeros((lanes, cap, bins), jnp.float32),
+                power=jnp.zeros((lanes, cap, bins), jnp.float32),
+                point_valid=jnp.zeros((lanes, cap, bins), bool),
+                valid=jnp.zeros((lanes, cap), bool),
+            )
+        else:
+            empty = ClassicColumns(
+                codes=jnp.zeros((lanes, cap, bins), jnp.uint16),
+                valid=jnp.zeros((lanes, cap), bool),
+            )
+        return jax.lax.cond(
+            info["ready"] > 0,
+            lambda: compute(fb.extract(info), info["valid"]),
+            lambda: empty,
+        )
 
     # -- sliding classic ----------------------------------------------------
 
@@ -275,28 +305,70 @@ class SpectrogramAnalyzer:
         bins = self.bins
 
         w = window_coefficients(cfg.window, n)
-        dw = derivative_window(w)
-        tw = time_weighted_window(w)
         norm = fft_bin_normalization(w, pfft)
 
         # Analytic signal: zero DC and strictly-negative-frequency bins of the
         # raw (NOT windowed) frame; positive bins are *not* doubled — the 4x
         # one-sided bin normalization accounts for it (processor.rs:546-557).
-        sr, si = fft_mxu(frames, None, h)
-        k = np.arange(h)
-        keep = ((k >= 1) & (k <= h // 2)).astype(np.float32)
-        ar, ai = ifft_mxu(sr * keep, si * keep, h)
+        # The kept bins 1..h/2 are exactly the one-sided rFFT output, so the
+        # forward transform rides the pair-packed real FFT (half the MXU work
+        # of a complex transform); the upper half is zero by construction.
+        spec = rfft_mxu(frames, h)
+        keep = (np.arange(h // 2 + 1) >= 1).astype(np.float32)
+        zeros_hi = jnp.zeros((*spec.shape[:-1], h - (h // 2 + 1)), jnp.float32)
+        ar, ai = ifft_mxu(
+            jnp.concatenate([jnp.real(spec) * keep, zeros_hi], axis=-1),
+            jnp.concatenate([jnp.imag(spec) * keep, zeros_hi], axis=-1),
+            h,
+        )
         ar = ar[..., center : center + n]
         ai = ai[..., center : center + n]
 
-        # the three windowed analysis FFTs (h, dh/dt, t*h) share one input
-        # frame: stack them into a single batched transform
-        wins = np.stack([w, dw, tw])[:, None, None, :]  # [3, 1, 1, n]
-        fr, fi = fft_mxu(ar[None] * wins, ai[None] * wins, pfft)
-        fr, fi = fr[..., :bins], fi[..., :bins]
-        br, bi = fr[0], fi[0]
-        dr, di = fr[1], fi[1]
-        tr, ti = fr[2], fi[2]
+        if pfft == n:
+            # Windowing in the frequency domain: a cosine-sum window is a
+            # short circular stencil over the unwindowed spectrum U; the
+            # spectral-derivative window dh/dt has DFT support only on the
+            # window's cosine bins (DW[±j] = ±i·pi·j·c_j), and (t-c)·h is the
+            # same window stencil over V = FFT((t-c)·a).  Two complex FFTs +
+            # stencils replace the three windowed transforms.
+            ur, ui = fft_mxu(ar, ai, n)
+            ramp = (np.arange(n) - (n - 1) * 0.5).astype(np.float32)
+            vr, vi = fft_mxu(ar * ramp, ai * ramp, n)
+            c = cfg.window.cosine_coefficients
+
+            def stencil(xr, xi):
+                out_r, out_i = float(c[0]) * xr, float(c[0]) * xi
+                for j in range(1, len(c)):
+                    half = 0.5 * float(c[j])
+                    out_r = out_r + half * (jnp.roll(xr, j, -1) + jnp.roll(xr, -j, -1))
+                    out_i = out_i + half * (jnp.roll(xi, j, -1) + jnp.roll(xi, -j, -1))
+                return out_r, out_i
+
+            br, bi = stencil(ur, ui)
+            tr, ti = stencil(vr, vi)
+            dr = jnp.zeros_like(ur)
+            di = jnp.zeros_like(ui)
+            for j in range(1, len(c)):
+                g = np.pi * j * float(c[j]) / n  # i·g·(U[k-j] - U[k+j])
+                er = jnp.roll(ur, j, -1) - jnp.roll(ur, -j, -1)
+                ei = jnp.roll(ui, j, -1) - jnp.roll(ui, -j, -1)
+                dr = dr - g * ei
+                di = di + g * er
+            br, bi = br[..., :bins], bi[..., :bins]
+            dr, di = dr[..., :bins], di[..., :bins]
+            tr, ti = tr[..., :bins], ti[..., :bins]
+        else:
+            # zero-padded transforms: the stencil identity needs the window
+            # periodic in the transform length, so pad and FFT the three
+            # windowed frames, stacked into one batched transform
+            dw = derivative_window(w)
+            tw = time_weighted_window(w)
+            wins = np.stack([w, dw, tw])[:, None, None, :]  # [3, 1, 1, n]
+            fr, fi = fft_mxu(ar[None] * wins, ai[None] * wins, pfft)
+            fr, fi = fr[..., :bins], fi[..., :bins]
+            br, bi = fr[0], fi[0]
+            dr, di = fr[1], fi[1]
+            tr, ti = fr[2], fi[2]
 
         pow_raw = br * br + bi * bi
         scaled_power = pow_raw * norm

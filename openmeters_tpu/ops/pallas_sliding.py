@@ -129,9 +129,12 @@ def _build(T, cols, hop, bins, n, coeffs, floor_db, emit_codes):
                 code = jnp.clip(
                     jnp.round((db - STORE_LO) * STORE_SCALE), 0.0, 65535.0
                 )
-                # i32 out; the cheap u16 narrowing happens outside (Mosaic
-                # has no f32->u16 cast)
-                out_refs[k][:] = code.astype(jnp.int32)
+                # biased i16 out (Mosaic has no u16 cast but i32->i16 is
+                # exact for code-32768): halves the HBM write vs i32; the
+                # +32768 un-bias fuses into the stack pass outside
+                out_refs[k][:] = (code.astype(jnp.int32) - 32768).astype(
+                    jnp.int16
+                )
             else:
                 out_refs[k][:] = p
 
@@ -175,7 +178,7 @@ def sliding_hop(
     d_cols = [deltas[:, k, :] for k in range(cols)]
 
     kern = _build(T, cols, hop, bins, n, coeffs, floor_db, emit_codes)
-    out_dtype = jnp.int32 if emit_codes else jnp.float32
+    out_dtype = jnp.int16 if emit_codes else jnp.float32
     row = pl.BlockSpec((1, bins), lambda i, *_: (0, 0))
     tile = pl.BlockSpec((T, bins), lambda i, *_: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -206,7 +209,8 @@ def sliding_hop(
     fr2, fi2 = outs[0], outs[1]
     out = jnp.stack(outs[2:], axis=1)
     if emit_codes:
-        out = out.astype(jnp.uint16)
+        # un-bias the i16 codes; XLA fuses this into the stack pass
+        out = (out.astype(jnp.int32) + 32768).astype(jnp.uint16)
     if pad:
         fr2, fi2, out = fr2[:s], fi2[:s], out[:s]
     return fr2, fi2, out
