@@ -323,8 +323,10 @@ class OscilloscopeAnalyzer:
         e = jnp.concatenate([jnp.zeros_like(e[..., :1]), e], axis=-1)  # [S, P+1]
         total = e[..., -1]
         taus = np.arange(max_lag + 1)
-        left = e[..., p - taus]  # e[p - tau]
-        right = total[..., None] - jnp.take(e, taus, axis=-1)
+        # contiguous slices, NOT int-array indexing (gathers lower to serial
+        # row loops on TPU): e[p - tau] = reversed slice, e[tau] = prefix
+        left = jnp.flip(e[..., p - max_lag : p + 1], axis=-1)  # e[p - tau]
+        right = total[..., None] - e[..., : max_lag + 1]
         denom = left + right
         nsdf = jnp.where(denom > 1e-7, 2.0 * ac / jnp.maximum(denom, 1e-30), 0.0)
 
@@ -696,8 +698,12 @@ class OscilloscopeAnalyzer:
             hist = jnp.concatenate([hist, newest], axis=-1)[:, :, -hist_len:]
 
         fresh_ok = fresh >= jnp.int32(min(self.base_frames, hist_len))
-        # trigger inputs: [S * n_trig, hist], stream-major lanes
-        trig_flat = hist[:, np.asarray(lane_slots)].reshape(s * n_trig, hist_len)
+        # trigger inputs: [S * n_trig, hist], stream-major lanes.  Static
+        # per-slot slicing — an int-array index is a gather, which XLA lowers
+        # to a serial per-row while loop on TPU (~7.8 ms/step at S=1024)
+        trig_flat = jnp.stack(
+            [hist[:, slot] for slot in lane_slots], axis=1
+        ).reshape(s * n_trig, hist_len)
         fresh_lane = jnp.repeat(fresh_ok, n_trig)
 
         def run_trigger(state):
@@ -727,7 +733,9 @@ class OscilloscopeAnalyzer:
             extracted = {}
             if active:
                 a = len(active)
-                sig = hist[:, jnp.asarray(active)].reshape(s * a, hist_len)
+                sig = jnp.stack(
+                    [hist[:, t] for t in active], axis=1
+                ).reshape(s * a, hist_len)
                 starts = jnp.stack(
                     [trace_cap("start", t) for t in active], axis=1
                 ).reshape(s * a)
