@@ -172,19 +172,17 @@ class LoudnessAnalyzer:
             seq_state = jnp.stack(
                 [kw_state[0:2], kw_state[2:4]]
             )  # [sections, 2, ...]
-            # full unroll on TPU: no scan loop at all — XLA fuses the whole
-            # 256-sample recurrence into straight-line code (1.69 -> 1.36 ms
-            # at S=16384; the loop form is latency- not compute-bound).  On
-            # CPU (test mesh) the unrolled graph compiles pathologically
-            # slowly, so keep the looped form there.
-            from openmeters_tpu.ops.pallas_sliding import pallas_enabled
-
+            # unroll=32 is deliberate: a FULL unroll measures faster alone
+            # (1.69 -> 1.36 ms at S=16384) but destroys the combined
+            # loudness+spectrogram graph (headline 8.0 -> 20.6 ms — the
+            # straight-line 256-step chain breaks XLA's overlap with the
+            # sliding-DFT kernel), and compiles pathologically slowly on CPU.
             filtered, seq_state = biquad_cascade_scan(
                 x,
                 seq_state,
                 self._kw_coeffs,
                 finite_reset=False,
-                unroll=b if pallas_enabled() else 32,
+                unroll=32,
             )
             kw_state = jnp.concatenate([seq_state[0], seq_state[1]], axis=0)
         # per-block denormal flush of recursive state (processor.rs:281-285)
