@@ -307,6 +307,39 @@ class SpectrogramAnalyzer:
         w = window_coefficients(cfg.window, n)
         norm = fft_bin_normalization(w, pfft)
 
+        from openmeters_tpu.ops.pallas_reassigned import (
+            reassigned_columns,
+            reassigned_supported,
+        )
+
+        if pfft == n and reassigned_supported(n, h):
+            # fused Pallas column transform: forward FFT -> analytic
+            # selection -> inverse FFT -> crop -> U/V FFTs -> window
+            # stencils -> corrections, all in VMEM (ops/pallas_reassigned.py)
+            s, cap, _ = frames.shape
+            fk, tk, pk = reassigned_columns(
+                frames.reshape(s * cap, h),
+                n=n, h=h, coeffs=cfg.window.cosine_coefficients,
+                sample_rate=cfg.sample_rate, hop=cfg.hop_size,
+            )
+            freq_hz = fk.reshape(s, cap, n)[..., :bins]
+            time_offset = tk.reshape(s, cap, n)[..., :bins]
+            scaled_power = pk.reshape(s, cap, n)[..., :bins]
+            max_hz = cfg.sample_rate * 0.5
+            point_valid = (
+                (scaled_power >= ANALYSIS_FLOOR_POWER)
+                & (freq_hz > 0.0)
+                & (max_hz - freq_hz > 0.0)
+                & valid[..., None]
+            )
+            return ReassignedColumns(
+                freq_hz=freq_hz,
+                time_offset=time_offset,
+                power=scaled_power,
+                point_valid=point_valid,
+                valid=valid,
+            )
+
         # Analytic signal: zero DC and strictly-negative-frequency bins of the
         # raw (NOT windowed) frame; positive bins are *not* doubled — the 4x
         # one-sided bin normalization accounts for it (processor.rs:546-557).
