@@ -249,12 +249,20 @@ class OscilloscopeAnalyzer:
 
     # -- state ----------------------------------------------------------------
 
+    @property
+    def ring_cap(self) -> int:
+        """Rotating-ring capacity: history rounded up to whole blocks so
+        the write origin never wraps mid-block; stored mirrored (2x)."""
+        b = max(int(self.config.block_frames), 1)
+        return -(-self.history_frames // b) * b
+
     def init(self, n_streams: int) -> dict:
         s = n_streams
         k = self.kernel_cap
         lanes = s * self.n_trig  # stream-major flattening: lane = s*n + i
         carry = {
-            "hist": jnp.zeros((s, 3, self.history_frames), jnp.float32),
+            "hist": jnp.zeros((s, 3, 2 * self.ring_cap), jnp.float32),
+            "origin": jnp.zeros((), jnp.int32),
             "fresh": jnp.zeros((s,), jnp.int32),
             "tick": jnp.zeros((), jnp.int32),
             # stable-trigger state: 1 linked lane, or 1 per active trace
@@ -281,6 +289,7 @@ class OscilloscopeAnalyzer:
 
         specs = {
             "hist": P(axis, None, None),
+            "origin": P(),
             "fresh": P(axis),
             "tick": P(),
             "period": P(axis),
@@ -382,18 +391,27 @@ class OscilloscopeAnalyzer:
 
     # -- stable trigger (processor.rs:273-528) --------------------------------
 
-    def _stable_capture(self, state, trace, fresh_ok):
-        """Batched StableTrigger::capture.  ``trace``: [S, HIST].
-
-        Returns (new_state, capture dict with span/start/frac [S]).
+    def _stable_capture(self, state, trace, fresh_ok, shift=None):
+        """Batched StableTrigger::capture.  ``trace``: [S, HIST] right-aligned,
+        or [S, 2*ring] rotated with scalar ``shift`` mapping logical index 0
+        to physical ``shift`` (double-write ring: any logical window is
+        contiguous).  Returns (new_state, capture dict with logical
+        span/start/frac [S]).
         """
         cfg = self.config
-        s, hist = trace.shape
+        s = trace.shape[0]
+        hist = self.history_frames
         rate = cfg.sample_rate
         cycles = max(cfg.num_cycles, 1)
         kcap, scap, wcap = self.kernel_cap, self.search_cap, self.work_cap
+        if shift is None:
+            shift = jnp.int32(0)
+            assert trace.shape[1] == hist
 
-        probe = trace[:, hist - self.probe_frames :]
+        probe = jax.lax.dynamic_slice(
+            trace, (jnp.int32(0), shift + hist - self.probe_frames),
+            (s, self.probe_frames),
+        )
         est = self._estimate_period(probe)
 
         # silence unlocks (processor.rs:322-325)
@@ -451,7 +469,7 @@ class OscilloscopeAnalyzer:
 
         work_end = right + after
         w_start = jnp.clip(work_end - wcap, 0, hist - wcap)
-        work = window_rows(trace, w_start, wcap)
+        work = window_rows(trace, w_start + shift, wcap)
         # valid region of work: last (search + klen) entries
         wlen = search + klen
         widx = np.arange(wcap)
@@ -684,7 +702,10 @@ class OscilloscopeAnalyzer:
                 )
         fresh = jnp.minimum(fresh + b, jnp.int32(2**30))
 
-        # project and append to history rings
+        # project and append to the rotated double-write history ring:
+        # O(B) stores per step (aliased in-place in the scan carry) instead
+        # of the O(hist) shift-left concat (~118 MB/step at S=1024).  The
+        # mirror write keeps every logical window contiguous.
         projs = [
             projection_vector(cfg.channel_1),
             projection_vector(cfg.channel_2),
@@ -692,26 +713,37 @@ class OscilloscopeAnalyzer:
         ]
         proj = np.stack(projs, axis=1)  # [2, 3]
         newest = jnp.einsum("sbc,ch->shb", block.astype(jnp.float32), proj)  # [S,3,B]
-        if b >= hist_len:
-            hist = newest[:, :, b - hist_len :]
-        else:
-            hist = jnp.concatenate([hist, newest], axis=-1)[:, :, -hist_len:]
+        origin = carry["origin"]
+        cap = self.ring_cap
+        z = jnp.int32(0)
+        hist = jax.lax.dynamic_update_slice(hist, newest, (z, z, origin))
+        hist = jax.lax.dynamic_update_slice(hist, newest, (z, z, origin + cap))
+        origin_next = (origin + b) % cap
+        # logical right-aligned index L in [0, hist_len) lives at physical
+        # shift + L; the mirror guarantees contiguity for length <= cap
+        shift = (origin + b - hist_len) % cap
 
         fresh_ok = fresh >= jnp.int32(min(self.base_frames, hist_len))
-        # trigger inputs: [S * n_trig, hist], stream-major lanes.  Static
+        # trigger inputs: [S * n_trig, 2*cap], stream-major lanes.  Static
         # per-slot slicing — an int-array index is a gather, which XLA lowers
         # to a serial per-row while loop on TPU (~7.8 ms/step at S=1024)
         trig_flat = jnp.stack(
             [hist[:, slot] for slot in lane_slots], axis=1
-        ).reshape(s * n_trig, hist_len)
+        ).reshape(s * n_trig, 2 * cap)
         fresh_lane = jnp.repeat(fresh_ok, n_trig)
 
         def run_trigger(state):
             if cfg.trigger_mode is TriggerMode.ZERO_CROSSING:
-                capture = self._zero_crossing_capture(trig_flat, fresh_lane)
+                # positional-mask scan needs the right-aligned view
+                view = jax.lax.dynamic_slice(
+                    trig_flat, (z, shift), (s * n_trig, hist_len)
+                )
+                capture = self._zero_crossing_capture(view, fresh_lane)
                 new_state = state
             else:
-                new_state, capture = self._stable_capture(state, trig_flat, fresh_lane)
+                new_state, capture = self._stable_capture(
+                    state, trig_flat, fresh_lane, shift
+                )
             cap2 = {k: v.reshape(s, n_trig) for k, v in capture.items()}
 
             def trace_cap(key, t):
@@ -735,11 +767,11 @@ class OscilloscopeAnalyzer:
                 a = len(active)
                 sig = jnp.stack(
                     [hist[:, t] for t in active], axis=1
-                ).reshape(s * a, hist_len)
+                ).reshape(s * a, 2 * cap)
                 starts = jnp.stack(
                     [trace_cap("start", t) for t in active], axis=1
                 ).reshape(s * a)
-                win = window_rows(sig, starts, self.window_cap).reshape(
+                win = window_rows(sig, starts + shift, self.window_cap).reshape(
                     s, a, self.window_cap
                 )
                 extracted = {t: win[:, i] for i, t in enumerate(active)}
@@ -800,7 +832,13 @@ class OscilloscopeAnalyzer:
             locked = jnp.zeros((s, TRACE_COUNT), bool)
             period = jnp.zeros((s, TRACE_COUNT), jnp.float32)
 
-        new_carry = {"hist": hist, "fresh": fresh, "tick": tick + 1, **new_state}
+        new_carry = {
+            "hist": hist,
+            "origin": origin_next,
+            "fresh": fresh,
+            "tick": tick + 1,
+            **new_state,
+        }
         if every > 1:
             new_carry["snap"] = snap
         return new_carry, OscilloscopeSnapshot(

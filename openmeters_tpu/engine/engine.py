@@ -232,7 +232,12 @@ class MeterEngine:
             return out
 
         def fb_specs():
-            return {"buf": P(axis, None), "avail": P(), "fresh": P(axis)}
+            return {
+                "buf": P(axis, None),
+                "origin": P(),
+                "avail": P(),
+                "fresh": P(axis),
+            }
 
         def sdft_specs():
             return {
