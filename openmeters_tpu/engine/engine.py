@@ -221,7 +221,9 @@ class MeterEngine:
                 "kw": P(None, axis, None),
                 "wm": {
                     "totals": P(None, axis, None),
-                    "suffix": P(None, None, axis, None),
+                    "suffix": P(None, None, axis, None),  # [slot, window, S, C]
+                    "sums": P(None, axis, None),
+                    "comp": P(None, axis, None),
                     "head": P(),
                     "blocks": P(axis, None),
                 },
