@@ -266,3 +266,52 @@ def test_lifted_iir_matches_sequential_scan(rng):
     np.testing.assert_allclose(
         np.asarray(lift_state).ravel(), np.asarray(seq_state).ravel(), atol=1e-4
     )
+
+
+def test_windowed_means_incremental_soak_no_drift(rng):
+    """The incremental KBN sums must track the exact masked re-reduction
+    through hundreds of ring wraps, including a mid-run reset and a large
+    level step (the drift classes the refresh/compensation guard against)."""
+    b = 32
+    windows = (b * 7, b * 3 + 5)
+    wm = BlockWindowedMeans(block_frames=b, window_lengths=windows)
+    carry = wm.init((2,))
+    level = 1.0
+    history = [1.0]  # |block total| history for the error bound
+    for i in range(400):
+        if i == 150:
+            level = 1.0e4  # loud passage
+        if i == 250:
+            level = 1.0e-4  # near-silence after loud content
+        x = (rng.standard_normal((b, 2)) * level).astype(np.float32)
+        reset = np.array([False, i == 200])
+        carry = wm.push_block(carry, x, reset_mask=reset)
+        got = np.asarray(wm.means(carry))
+        exact = np.asarray(
+            wm._exact_sums(carry["totals"], carry["head"], carry["blocks"])
+        )
+        # compensated incremental sums are exact relative to the largest
+        # magnitude that passed through them since the last refresh (plus
+        # whatever is still inside a window); the 32-push refresh restores
+        # exactness relative to the ring contents
+        history.append(float(np.abs(x).sum()))
+        span = wm.refresh_steps + wm.ring_blocks
+        recent_peak = max(history[-span:])
+        for w_idx, w in enumerate(windows):
+            q, r = w // b, w % b
+            suffix = np.asarray(carry["suffix"])[
+                (int(carry["head"]) - 1 - q) % wm.ring_blocks, w_idx
+            ]
+            blocks = np.asarray(carry["blocks"])
+            total = exact[w_idx] + np.where(blocks > q, suffix, 0.0)
+            count = np.clip(blocks.astype(np.float64) * b, 1, w)
+            ref = total / count
+            bound = (
+                2e-6 * recent_peak / float(count.min())
+                + 2e-6 * np.abs(ref).max()
+                + 1e-30
+            )
+            err = np.abs(got[w_idx] - ref).max()
+            assert err <= bound, (
+                f"step {i} window {w}: err {err:.3e} > bound {bound:.3e}"
+            )
