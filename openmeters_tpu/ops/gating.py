@@ -124,8 +124,7 @@ class GatedLoudness:
             integrated = jnp.where(reset_mask, self.floor_db, integrated)
             lra = jnp.where(reset_mask, 0.0, lra)
 
-        cum = jnp.cumsum(wk2, axis=1)  # [S, B]
-        total = cum[:, -1]
+        total = jnp.sum(wk2, axis=1)
         pos = carry["chunk_pos"]
         crossing = pos + b >= cl  # scalar: global cadence
 
@@ -133,7 +132,11 @@ class GatedLoudness:
             (chunk_e, ring, ring_idx, pending, integrated, lra,
              hm_n, hm_e, hs_n, hs_e) = op
             off = cl - pos  # frames of this hop belonging to the old chunk
-            before = jax.lax.dynamic_slice_in_dim(cum, off - 1, 1, axis=1)[:, 0]
+            # partial sum at the boundary as one masked reduction (a cumsum
+            # here would lower to a pad-chain and run on EVERY hop; this
+            # only executes on the 1-in-19 crossing hops inside the cond)
+            idx = jnp.arange(b, dtype=jnp.int32)[None, :]
+            before = jnp.sum(jnp.where(idx < off, wk2, 0.0), axis=1)
             closed = chunk_e + before  # exact chunk energy at the boundary
             new_chunk = total - before
 
