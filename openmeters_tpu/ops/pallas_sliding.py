@@ -64,9 +64,9 @@ def _build(T, cols, hop, bins, n, coeffs, floor_db, emit_codes):
         #        ofr, ofi, cols out refs   (all 2D — Mosaic rejects 3D
         #        block slicing as an unsupported shape cast)
         d_refs = rest[:cols]
-        (updr_ref, updi_ref, rotr_ref, roti_ref, dc_ref, norm_ref,
-         ofr_ref, ofi_ref) = rest[cols : cols + 8]
-        out_refs = rest[cols + 8 :]
+        (updr_ref, updr_lo_ref, updi_ref, updi_lo_ref, rotr_ref, roti_ref,
+         dc_ref, norm_ref, ofr_ref, ofi_ref) = rest[cols : cols + 10]
+        out_refs = rest[cols + 10 :]
         ready = ready_ref[0]
         fr = fr_ref[:]
         fi = fi_ref[:]
@@ -76,18 +76,32 @@ def _build(T, cols, hop, bins, n, coeffs, floor_db, emit_codes):
 
         for k in range(cols):
             d = d_refs[k][:]
-            # full f32 matmul precision: the slide is a recurrence, bf16
-            # MXU passes would accumulate drift between re-anchors
-            dr = jax.lax.dot_general(
-                d, updr_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            di = jax.lax.dot_general(
-                d, updi_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            # f32-accurate slide via bf16x3 (hi/lo split of the deltas
+            # against host-pre-split update matrices): ~1e-6 relative per
+            # slide, bounded by the 8-step exact re-anchor — half the MXU
+            # passes of precision=HIGHEST
+            d_hi = d.astype(jnp.bfloat16).astype(jnp.float32)
+            d_lo = d - d_hi
+
+            def b3(hi_ref, lo_ref):
+                dn = (((1,), (0,)), ((), ()))
+                return (
+                    jax.lax.dot_general(
+                        d_hi, hi_ref[:], dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    )
+                    + jax.lax.dot_general(
+                        d_hi, lo_ref[:], dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    )
+                    + jax.lax.dot_general(
+                        d_lo, hi_ref[:], dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+
+            dr = b3(updr_ref, updr_lo_ref)
+            di = b3(updi_ref, updi_lo_ref)
             tr = fr + dr
             ti = fi + di
             nfr = tr * rotr - ti * roti
@@ -187,12 +201,15 @@ def sliding_hop(
         in_specs=[
             tile, tile,
             *[pl.BlockSpec((T, hop), lambda i, *_: (i, 0)) for _ in range(cols)],
-            pl.BlockSpec((hop, bins), lambda i, *_: (0, 0)),
-            pl.BlockSpec((hop, bins), lambda i, *_: (0, 0)),
+            *[pl.BlockSpec((hop, bins), lambda i, *_: (0, 0)) for _ in range(4)],
             row, row, row, row,
         ],
         out_specs=[tile, tile, *[tile for _ in range(cols)]],
     )
+    # host-side bf16 hi/lo split of the update matrices (the data operand
+    # splits in-kernel)
+    updr_hi = updr.astype(jnp.bfloat16).astype(jnp.float32)
+    updi_hi = updi.astype(jnp.bfloat16).astype(jnp.float32)
     outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -204,7 +221,9 @@ def sliding_hop(
         interpret=_interpret(),
     )(
         jnp.asarray([ready], jnp.int32).astype(jnp.int32),
-        fr, fi, *d_cols, updr, updi, rotr, roti, dc_corr, norm,
+        fr, fi, *d_cols,
+        updr_hi, updr - updr_hi, updi_hi, updi - updi_hi,
+        rotr, roti, dc_corr, norm,
     )
     fr2, fi2 = outs[0], outs[1]
     out = jnp.stack(outs[2:], axis=1)
