@@ -83,8 +83,13 @@ def _window_rows_tpu(x, starts, length: int, row_tile: int):
     s, n = x.shape
     w = starts.shape[1]
     lp = _pow2(length + 128)
-    coarse_max = ((n - length) // 128) * 128
-    np_lanes = max(n, coarse_max + lp)
+    # pad only up to a 128-lane multiple (usually zero): instead of padding
+    # the whole source so every coarse+lp read fits, clamp the coarse slice
+    # to end at the buffer edge and roll by the larger residual — the roll
+    # amount stays < lp because starts are clipped to n - length and
+    # lp >= length + 128.  (The old full pad copied the entire source per
+    # call — ~0.3 ms per oscilloscope window read at 1024 x 19k lanes.)
+    np_lanes = max(-(-n // 128) * 128, lp)
     if np_lanes > n:
         x = jnp.pad(x, ((0, 0), (0, np_lanes - n)))
 
@@ -97,7 +102,7 @@ def _window_rows_tpu(x, starts, length: int, row_tile: int):
         for r in range(ts):
             for k in range(w):
                 st = starts_ref[(t * ts + r) * w + k]
-                coarse = (st // 128) * 128
+                coarse = jnp.minimum((st // 128) * 128, np_lanes - lp)
                 fine = st - coarse
                 row = x_ref[r, pl.ds(pl.multiple_of(coarse, 128), lp)]
                 rolled = pltpu.roll(row.reshape(1, lp), -fine, 1)
@@ -113,5 +118,6 @@ def _window_rows_tpu(x, starts, length: int, row_tile: int):
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s, w * length), x.dtype),
+        interpret=bool(os.environ.get("OPENMETERS_PALLAS_INTERPRET")),
     )(starts.reshape(-1), x)
     return flat.reshape(s, w, length)
