@@ -368,6 +368,9 @@ def reassigned_columns(
             out_specs=[out3, out3, out3],
         ),
         out_shape=[jax.ShapeDtypeStruct((rp, N1, N2), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)  # row tiles are independent
+        ),
         interpret=_interpret(),
     )(frames3, *[jnp.asarray(v) for v in cvals])
 

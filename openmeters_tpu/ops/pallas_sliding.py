@@ -218,6 +218,9 @@ def sliding_hop(
             jax.ShapeDtypeStruct((sp, bins), jnp.float32),
             *[jax.ShapeDtypeStruct((sp, bins), out_dtype) for _ in range(cols)],
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)  # stream tiles are independent
+        ),
         interpret=_interpret(),
     )(
         jnp.asarray([ready], jnp.int32).astype(jnp.int32),
