@@ -165,7 +165,7 @@ def main():
     engine = build_engine()
     best = None
     results = []
-    for n in (8192, 16384):
+    for n in (8192, 16384, 24576):
         try:
             r = measure(engine, n)
         except Exception as e:  # OOM etc.

@@ -317,7 +317,7 @@ def _build_kernel(T, n, h, coeffs, inv_2pi, inv_hop, latency_hops, exact):
 )
 def reassigned_columns(
     frames, *, n: int, h: int, coeffs: tuple, sample_rate: float, hop: int,
-    row_tile: int = 8,
+    row_tile: int = 32,
 ):
     """Fused reassigned transform of ``[rows, h]`` raw frames.
 
