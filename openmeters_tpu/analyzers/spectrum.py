@@ -140,10 +140,20 @@ class SpectrumAnalyzer:
         return self._sliding.supported
 
     def init(self, n_streams: int) -> dict:
+        floor = self.config.floor_db
         carry = {
             "fb": self._frames.init(n_streams * TRACE_COUNT),
             "smoothed": jnp.zeros((n_streams, TRACE_COUNT, self.bins), jnp.float32),
         }
+        if self.use_sliding and self.config.hop_size > self.config.block_frames:
+            # held dB outputs: recomputed only on hops that emit a column
+            # (the log/A-weight passes over [S, 2, bins] dominate idle hops)
+            carry["raw_db"] = jnp.full(
+                (n_streams, TRACE_COUNT, self.bins), floor, jnp.float32
+            )
+            carry["weighted_db"] = jnp.full(
+                (n_streams, TRACE_COUNT, self.bins), floor, jnp.float32
+            )
         if self.use_sliding:
             carry["sdft"] = self._sliding.init(n_streams * TRACE_COUNT)
         return carry
@@ -179,17 +189,57 @@ class SpectrumAnalyzer:
 
         w = window_coefficients(cfg.window, cfg.fft_size)
         norm = fft_bin_normalization(w, cfg.fft_size)
-        new_sdft = None
+        state_floor = self.state_floor
+        dt = cfg.hop_size / cfg.sample_rate
+        floor = cfg.floor_db
+
+        def smooth_cols(smoothed, power):
+            for col in range(fb.cols_cap):
+                p = power[:, :, col]
+                v = valid[:, :, col][..., None]
+                if cfg.averaging is AveragingMode.NONE:
+                    # 'smoothed' doubles as last-raw-power retention so
+                    # snapshots hold between hops (the reference keeps
+                    # outputs in self.snapshot across process_block calls).
+                    smoothed = jnp.where(v, p, smoothed)
+                elif cfg.averaging is AveragingMode.EXPONENTIAL:
+                    alpha = min(max(cfg.exp_factor, 0.0), 0.9999)
+                    nxt = jnp.where(
+                        smoothed <= 0.0, p, smoothed * alpha + p * (1 - alpha)
+                    )
+                    nxt = jnp.where(nxt < state_floor, 0.0, nxt)
+                    smoothed = jnp.where(v, nxt, smoothed)
+                else:  # PEAK_HOLD
+                    decay = db_to_power_host(
+                        -max(cfg.peak_decay_db_per_s, 0.0) * dt
+                    )
+                    nxt = jnp.maximum(smoothed * decay, p)
+                    nxt = jnp.where(nxt < state_floor, 0.0, nxt)
+                    smoothed = jnp.where(v, nxt, smoothed)
+            return smoothed
+
+        def to_db(out_power):
+            weighting = jnp.asarray(self.a_weighting)
+            db = jnp.log(jnp.maximum(out_power, 1e-45)) * LN_TO_DB
+            below = out_power < state_floor
+            raw_db = jnp.where(below, floor, jnp.maximum(db, floor))
+            weighted_db = jnp.where(
+                below, floor, jnp.maximum(db + weighting, floor)
+            )
+            return raw_db, weighted_db
+
+        new_carry = {"fb": fb_carry}
         if self.use_sliding:
             # hop-rate sliding DFT columns (ops/sliding_stft.py).  With
-            # hop > block most engine steps emit no column, and the slide's
-            # result would be fully masked out — skip it under a scalar cond
-            # (ready is global: resets re-align to the hop grid).
+            # hop > block most engine steps emit no column — the slide,
+            # smoothing, and the log/A-weight output passes all skip under
+            # one scalar cond (ready is global: resets re-align to the hop
+            # grid), holding the previous dB outputs in the carry.
             from openmeters_tpu.ops.pallas_sliding import pallas_enabled
 
             fused = pallas_enabled() and self._sliding.fused_fits_vmem
 
-            def advance(sdft):
+            def slide(sdft):
                 if fused:
                     return self._sliding.step_fused(
                         sdft, info, norm, cfg.floor_db, emit_codes=False
@@ -197,57 +247,54 @@ class SpectrumAnalyzer:
                 sdft2, p = self._sliding.step(sdft, info)
                 return sdft2, p * norm
 
-            def hold(sdft):
-                return sdft, jnp.zeros(
-                    (s * TRACE_COUNT, fb.cols_cap, self.bins), jnp.float32
+            smoothed0 = carry["smoothed"]
+            if reset_mask is not None:
+                smoothed0 = jnp.where(reset_mask[:, None, None], 0.0, smoothed0)
+
+            if cfg.hop_size > cfg.block_frames:
+                any_reset = (
+                    jnp.any(reset_mask)
+                    if reset_mask is not None
+                    else jnp.bool_(False)
                 )
 
-            new_sdft, power = jax.lax.cond(
-                info["ready"] > 0, advance, hold, carry["sdft"]
-            )
-            power = power.reshape(s, TRACE_COUNT, fb.cols_cap, self.bins)
+                def advance(op):
+                    sdft, smoothed, _, _ = op
+                    sdft2, power = slide(sdft)
+                    power = power.reshape(s, TRACE_COUNT, fb.cols_cap, self.bins)
+                    sm = smooth_cols(smoothed, power)
+                    raw_db, weighted_db = to_db(sm)
+                    return sdft2, sm, raw_db, weighted_db
+
+                op = (
+                    carry["sdft"], smoothed0,
+                    carry["raw_db"], carry["weighted_db"],
+                )
+                new_sdft, smoothed, raw_db, weighted_db = jax.lax.cond(
+                    (info["ready"] > 0) | any_reset, advance, lambda op: op, op
+                )
+                new_carry["raw_db"] = raw_db
+                new_carry["weighted_db"] = weighted_db
+            else:
+                new_sdft, power = slide(carry["sdft"])
+                power = power.reshape(s, TRACE_COUNT, fb.cols_cap, self.bins)
+                smoothed = smooth_cols(smoothed0, power)
+                raw_db, weighted_db = to_db(smoothed)
+            new_carry["sdft"] = new_sdft
         else:
-            frames = fb.extract(info).reshape(s, TRACE_COUNT, fb.cols_cap, cfg.fft_size)
+            frames = fb.extract(info).reshape(
+                s, TRACE_COUNT, fb.cols_cap, cfg.fft_size
+            )
             mean = jnp.mean(frames, axis=-1, keepdims=True)
             spec = rfft_mxu((frames - mean) * w, cfg.fft_size)
-            power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * norm  # [S,2,cap,bins]
+            power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * norm
+            smoothed = carry["smoothed"]
+            if reset_mask is not None:
+                smoothed = jnp.where(reset_mask[:, None, None], 0.0, smoothed)
+            smoothed = smooth_cols(smoothed, power)
+            raw_db, weighted_db = to_db(smoothed)
 
-        smoothed = carry["smoothed"]
-        if reset_mask is not None:
-            smoothed = jnp.where(reset_mask[:, None, None], 0.0, smoothed)
-
-        state_floor = self.state_floor
-        dt = cfg.hop_size / cfg.sample_rate
-        for col in range(fb.cols_cap):
-            p = power[:, :, col]
-            v = valid[:, :, col][..., None]
-            if cfg.averaging is AveragingMode.NONE:
-                # 'smoothed' doubles as last-raw-power retention so snapshots
-                # hold between hops (the reference keeps outputs in
-                # self.snapshot across process_block calls).
-                smoothed = jnp.where(v, p, smoothed)
-            elif cfg.averaging is AveragingMode.EXPONENTIAL:
-                alpha = min(max(cfg.exp_factor, 0.0), 0.9999)
-                nxt = jnp.where(smoothed <= 0.0, p, smoothed * alpha + p * (1 - alpha))
-                nxt = jnp.where(nxt < state_floor, 0.0, nxt)
-                smoothed = jnp.where(v, nxt, smoothed)
-            else:  # PEAK_HOLD
-                decay = db_to_power_host(-max(cfg.peak_decay_db_per_s, 0.0) * dt)
-                nxt = jnp.maximum(smoothed * decay, p)
-                nxt = jnp.where(nxt < state_floor, 0.0, nxt)
-                smoothed = jnp.where(v, nxt, smoothed)
-        out_power = smoothed
-
-        floor = cfg.floor_db
-        weighting = jnp.asarray(self.a_weighting)
-        db = jnp.log(jnp.maximum(out_power, 1e-45)) * LN_TO_DB
-        below = out_power < state_floor
-        raw_db = jnp.where(below, floor, jnp.maximum(db, floor))
-        weighted_db = jnp.where(below, floor, jnp.maximum(db + weighting, floor))
-
-        new_carry = {"fb": fb_carry, "smoothed": smoothed}
-        if new_sdft is not None:
-            new_carry["sdft"] = new_sdft
+        new_carry["smoothed"] = smoothed
         return new_carry, SpectrumSnapshot(
             weighted_db=weighted_db,
             raw_db=raw_db,

@@ -257,9 +257,13 @@ class MeterEngine:
             if self.analyzers["spectrogram"].use_sliding:
                 out["spectrogram"]["sdft"] = sdft_specs()
         if "spectrum" in self.analyzers:
+            sa = self.analyzers["spectrum"]
             out["spectrum"] = {"fb": fb_specs(), "smoothed": P(axis, None, None)}
-            if self.analyzers["spectrum"].use_sliding:
+            if sa.use_sliding:
                 out["spectrum"]["sdft"] = sdft_specs()
+                if sa.config.hop_size > sa.config.block_frames:
+                    out["spectrum"]["raw_db"] = P(axis, None, None)
+                    out["spectrum"]["weighted_db"] = P(axis, None, None)
         for name in ("oscilloscope", "stereometer", "waveform"):
             if name in self.analyzers:
                 out[name] = self.analyzers[name].pspecs(axis)
