@@ -41,6 +41,22 @@ def scaled_block_frames(sample_rate: float) -> int:
     return max(int(round(DSP_BATCH_FRAMES_AT_48K * sample_rate / 48_000.0)), 1)
 
 
+def _default_analyzer(name: str):
+    """Default config for a lazily-imported analyzer (default-factory so the
+    import cost lands only when an EngineConfig is actually built)."""
+    if name == "oscilloscope":
+        from openmeters_tpu.analyzers.oscilloscope import OscilloscopeConfig
+
+        return OscilloscopeConfig()
+    if name == "stereometer":
+        from openmeters_tpu.analyzers.stereometer import StereometerConfig
+
+        return StereometerConfig()
+    from openmeters_tpu.analyzers.waveform import WaveformConfig
+
+    return WaveformConfig()
+
+
 class StreamMeta(NamedTuple):
     """Per-stream layout data (built host-side from ``AudioFormat``)."""
 
@@ -72,10 +88,18 @@ class EngineConfig:
     loudness: LoudnessConfig | None = LoudnessConfig()
     spectrogram: SpectrogramConfig | None = SpectrogramConfig()
     spectrum: SpectrumConfig | None = SpectrumConfig()
-    # later analyzers register here the same way
-    oscilloscope: Any = None
-    stereometer: Any = None
-    waveform: Any = None
+    # all six analyzers are on by default, matching the reference registry
+    # (registry.rs:37-240 instantiates every visual); pass None to disable.
+    # Field types stay loose so the engine module imports lazily.
+    oscilloscope: Any = dataclasses.field(
+        default_factory=lambda: _default_analyzer("oscilloscope")
+    )
+    stereometer: Any = dataclasses.field(
+        default_factory=lambda: _default_analyzer("stereometer")
+    )
+    waveform: Any = dataclasses.field(
+        default_factory=lambda: _default_analyzer("waveform")
+    )
 
     @staticmethod
     def at_rate(sample_rate: float, **kw) -> "EngineConfig":

@@ -34,6 +34,7 @@ def main(argv=None) -> int:
     ap.add_argument("--amp", type=float, default=0.5)
     ap.add_argument("--seconds", type=float, default=1.0)
     ap.add_argument("--channels", type=int, default=2)
+    ap.add_argument("--rate", type=float, default=RATE)
     ap.add_argument("--gap-at", type=float, default=None,
                     help="skip 0.1 s of timeline at this offset (gap->silence)")
     ap.add_argument("--format-switch-at", type=float, default=None,
@@ -48,19 +49,21 @@ def main(argv=None) -> int:
             "app_name": args.app_name,
             "media_name": args.media_name,
             "channels": args.channels,
+            "sample_rate": args.rate,
         },
     )
     slot = client.connect()
     if slot is None:
-        print("refused: truncated", file=sys.stderr)
+        print(f"refused: {client.refusal}", file=sys.stderr)
         return 3
     print(f"slot {slot}", flush=True)
 
-    total = int(args.seconds * RATE)
+    rate = client.sample_rate or args.rate
+    total = int(args.seconds * rate)
     n = 0
-    gap_frame = None if args.gap_at is None else int(args.gap_at * RATE)
+    gap_frame = None if args.gap_at is None else int(args.gap_at * rate)
     fmt_frame = (
-        None if args.format_switch_at is None else int(args.format_switch_at * RATE)
+        None if args.format_switch_at is None else int(args.format_switch_at * rate)
     )
     skew = 0
     t0 = time.monotonic()
@@ -69,16 +72,17 @@ def main(argv=None) -> int:
             client.send_format(args.channels)
             fmt_frame = None
         if gap_frame is not None and n >= gap_frame:
-            skew += int(0.1 * RATE)  # timeline jumps forward: a gap
+            skew += int(0.1 * rate)  # timeline jumps forward: a gap
             gap_frame = None
-        t = (np.arange(n, n + BLOCK) / RATE).astype(np.float32)
+        t = (np.arange(n, n + BLOCK) / rate).astype(np.float32)
         x = (args.amp * np.sin(2 * np.pi * args.freq * t)).astype(np.float32)
-        pcm = np.stack([x] * args.channels, axis=-1)
-        ts_ns = int((n + skew) / RATE * 1e9)
+        # negotiated width (the HELLO reply may have clamped our announce)
+        pcm = np.stack([x] * (client.channels or args.channels), axis=-1)
+        ts_ns = int((n + skew) / rate * 1e9)
         client.send_pcm(pcm, ts_ns)
         n += BLOCK
         if args.realtime:
-            target = t0 + n / RATE
+            target = t0 + n / rate
             lag = target - time.monotonic()
             if lag > 0:
                 time.sleep(lag)

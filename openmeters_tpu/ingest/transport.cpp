@@ -44,14 +44,18 @@ enum class SpanKind : uint8_t { Pcm = 0, Silence = 1 };
 struct SpanRec {
   SpanKind kind;
   uint32_t frames;
+  uint32_t channels;  // stream channel count when this span was pushed
   uint64_t start_ns;
   uint64_t data_pos;  // ring offset of first sample (Pcm only)
   uint64_t generation;
 };
 
 struct Stream {
-  // --- configuration (immutable after create) ---
-  uint32_t channels = 2;
+  // --- per-stream format (renegotiable: stream.rs:24-264 set_format) ---
+  // Written only by the stream's producer thread (om_set_channels); spans
+  // record the value at push time so the assembler's ring arithmetic stays
+  // consistent for in-flight old-format spans.
+  std::atomic<uint32_t> channels{2};
   double sample_rate = 48000.0;
 
   // --- sample ring (SPSC: producer writes, assembler reads) ---
@@ -130,11 +134,12 @@ void discard_all(Stream& s) {
   uint64_t span_tail = s.span_tail.load(std::memory_order_relaxed);
   uint64_t end = s.data_tail.load(std::memory_order_relaxed);
   if (s.has_carry) {
-    uint64_t e = span_data_end(s.carry_span, s.channels);
+    uint64_t e = span_data_end(s.carry_span, s.carry_span.channels);
     if (e > end) end = e;
   }
   for (uint64_t i = span_tail; i != span_head; ++i) {
-    uint64_t e = span_data_end(s.spans[i % s.span_cap], s.channels);
+    const SpanRec& rec = s.spans[i % s.span_cap];
+    uint64_t e = span_data_end(rec, rec.channels);
     if (e > end) end = e;
   }
   s.data_tail.store(end, std::memory_order_release);
@@ -152,13 +157,14 @@ void discard_until(Stream& s, uint64_t upto_span) {
   if (upto_span > span_head) upto_span = span_head;
   uint64_t end = s.data_tail.load(std::memory_order_relaxed);
   if (s.has_carry) {  // carry predates any post-resume span
-    uint64_t e = span_data_end(s.carry_span, s.channels);
+    uint64_t e = span_data_end(s.carry_span, s.carry_span.channels);
     if (e > end) end = e;
     s.has_carry = false;
     s.carry_frames = 0;
   }
   for (uint64_t i = span_tail; i < upto_span; ++i) {
-    uint64_t e = span_data_end(s.spans[i % s.span_cap], s.channels);
+    const SpanRec& rec = s.spans[i % s.span_cap];
+    uint64_t e = span_data_end(rec, rec.channels);
     if (e > end) end = e;
   }
   s.data_tail.store(end, std::memory_order_release);
@@ -237,7 +243,8 @@ int32_t om_push_pcm(void* h, uint32_t stream, const float* samples,
     s.timeline_started = false;
     return 1;
   }
-  const uint32_t ch = s.channels;
+  // producer thread owns this field (om_set_channels is producer-side)
+  const uint32_t ch = s.channels.load(std::memory_order_relaxed);
   const uint64_t need = (uint64_t)frames * ch;
 
   uint64_t start_ns = timestamp_ns;
@@ -263,6 +270,7 @@ int32_t om_push_pcm(void* h, uint32_t stream, const float* samples,
       SpanRec& rec = s.spans[span_head % s.span_cap];
       rec.kind = SpanKind::Silence;
       rec.frames = (uint32_t)gap_frames;
+      rec.channels = ch;
       rec.start_ns = s.next_ns;
       rec.data_pos = 0;
       rec.generation = s.generation.load(std::memory_order_acquire);
@@ -291,6 +299,7 @@ int32_t om_push_pcm(void* h, uint32_t stream, const float* samples,
   SpanRec& rec = s.spans[span_head % s.span_cap];
   rec.kind = SpanKind::Pcm;
   rec.frames = frames;
+  rec.channels = ch;
   rec.start_ns = start_ns;
   rec.data_pos = head;
   rec.generation = s.generation.load(std::memory_order_acquire);
@@ -317,6 +326,7 @@ int32_t om_push_silence(void* h, uint32_t stream, uint32_t frames,
   SpanRec& rec = s.spans[span_head % s.span_cap];
   rec.kind = SpanKind::Silence;
   rec.frames = frames;
+  rec.channels = s.channels.load(std::memory_order_relaxed);
   rec.start_ns = timestamp_ns;
   rec.data_pos = 0;
   rec.generation = s.generation.load(std::memory_order_acquire);
@@ -330,6 +340,26 @@ int32_t om_push_silence(void* h, uint32_t stream, uint32_t frames,
 void om_push_fault(void* h, uint32_t stream) {
   auto* t = static_cast<Transport*>(h);
   if (stream < t->n_streams) fault(*t->streams[stream]);
+}
+
+// Producer-thread-only: renegotiate the stream's channel layout
+// (stream.rs:24-264 set_format).  Must be called from the same thread that
+// pushes this stream's PCM; in-flight spans keep the channel count they were
+// pushed with, and the caller bumps the generation so the assembler resets
+// at the format boundary.
+void om_set_channels(void* h, uint32_t stream, uint32_t channels) {
+  auto* t = static_cast<Transport*>(h);
+  if (stream >= t->n_streams) return;
+  if (channels < 1) channels = 1;
+  if (channels > 64) channels = 64;
+  t->streams[stream]->channels.store(channels, std::memory_order_release);
+}
+
+uint32_t om_stream_channels(void* h, uint32_t stream) {
+  auto* t = static_cast<Transport*>(h);
+  return stream < t->n_streams
+             ? t->streams[stream]->channels.load(std::memory_order_acquire)
+             : 0;
 }
 
 // Producer: format change bumps the generation (AudioFormat::generation).
@@ -423,7 +453,8 @@ int32_t om_assemble_buf(void* h, float* out, uint8_t* reset_mask,
     {
       uint64_t head = s.data_head.load(std::memory_order_acquire);
       uint64_t tail = s.data_tail.load(std::memory_order_relaxed);
-      if ((head - tail) / s.channels > t->max_backlog_frames) {
+      uint32_t ch_now = s.channels.load(std::memory_order_acquire);
+      if ((head - tail) / ch_now > t->max_backlog_frames) {
         discard_all(s);
         reset_mask[si] = 1;
       }
@@ -465,9 +496,12 @@ int32_t om_assemble_buf(void* h, float* out, uint8_t* reset_mask,
 
       uint32_t take = (uint32_t)std::min<uint64_t>(s.carry_frames, B - filled);
       if (s.carry_span.kind == SpanKind::Pcm) {
+        // span-recorded channel count: renegotiations never reinterpret
+        // in-flight payload bytes (the round-2 OOB read)
+        const uint32_t sch = s.carry_span.channels;
         uint64_t pos = s.carry_span.data_pos +
-                       (uint64_t)(s.carry_span.frames - s.carry_frames) * s.channels;
-        if (s.channels == C) {
+                       (uint64_t)(s.carry_span.frames - s.carry_frames) * sch;
+        if (sch == C) {
           // contiguous fast path: at most two memcpy segments at the wrap
           uint64_t count = (uint64_t)take * C;
           uint64_t off = pos % s.data_cap;
@@ -478,11 +512,12 @@ int32_t om_assemble_buf(void* h, float* out, uint8_t* reset_mask,
             std::memcpy(dst + (size_t)filled * C + first, s.data.data(),
                         sizeof(float) * (count - first));
         } else {
-          // padded channels [s.channels, C) must read zero
+          // padded channels [sch, C) must read zero; channels beyond the
+          // batch width are dropped (negotiation clamps before this point)
           std::memset(dst + (size_t)filled * C, 0, sizeof(float) * take * C);
-          const uint32_t copy_ch = s.channels < C ? s.channels : C;
+          const uint32_t copy_ch = sch < C ? sch : C;
           for (uint32_t f = 0; f < take; ++f) {
-            uint64_t row = (pos + (uint64_t)f * s.channels) % s.data_cap;
+            uint64_t row = (pos + (uint64_t)f * sch) % s.data_cap;
             if (row + copy_ch <= s.data_cap) {
               std::memcpy(dst + (size_t)(filled + f) * C, s.data.data() + row,
                           sizeof(float) * copy_ch);
@@ -494,7 +529,7 @@ int32_t om_assemble_buf(void* h, float* out, uint8_t* reset_mask,
           }
         }
         // positional release: tail = exactly what this span has consumed
-        s.data_tail.store(pos + (uint64_t)take * s.channels,
+        s.data_tail.store(pos + (uint64_t)take * sch,
                           std::memory_order_release);
         got_pcm = true;
       } else {
@@ -561,7 +596,8 @@ uint64_t om_buffered_frames(void* h, uint32_t stream) {
   uint64_t silence_carry =
       (s.has_carry && s.carry_span.kind == SpanKind::Silence) ? s.carry_frames
                                                               : 0;
-  return (head - tail) / s.channels + silence_carry;
+  return (head - tail) / s.channels.load(std::memory_order_acquire) +
+         silence_carry;
 }
 
 // Max buffered frames over all streams, in blocks (serving-loop coalescing).

@@ -63,6 +63,11 @@ def _load():
     lib.om_set_generation.argtypes = [
         ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint64,
     ]
+    lib.om_set_channels.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+    ]
+    lib.om_stream_channels.restype = ctypes.c_uint32
+    lib.om_stream_channels.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
     lib.om_fault_count.restype = ctypes.c_uint64
     lib.om_fault_count.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
     lib.om_assemble.restype = ctypes.c_int32
@@ -158,8 +163,21 @@ class Transport:
             self._h = None
 
     def push_pcm(self, stream: int, samples: np.ndarray, timestamp_ns: int) -> int:
-        """``samples``: [frames, channels] float32 interleaved."""
+        """``samples``: [frames, channels] float32 interleaved.
+
+        The channel count must match the stream's negotiated format
+        (:meth:`set_channels`); the native side reads exactly
+        ``frames * stream_channels`` floats, so a mismatched payload here
+        would be an out-of-bounds read — rejected instead.
+        """
         samples = np.ascontiguousarray(samples, np.float32)
+        if samples.ndim != 2:
+            raise ValueError(f"expected [frames, channels], got {samples.shape}")
+        expect = self.stream_channels(stream)
+        if samples.shape[1] != expect:
+            raise ValueError(
+                f"stream {stream} expects {expect} channels, got {samples.shape[1]}"
+            )
         frames = samples.shape[0]
         return self._lib.om_push_pcm(
             self._h, stream,
@@ -184,6 +202,14 @@ class Transport:
 
     def set_generation(self, stream: int, generation: int) -> None:
         self._lib.om_set_generation(self._h, stream, generation)
+
+    def set_channels(self, stream: int, channels: int) -> None:
+        """Renegotiate a stream's channel layout (stream.rs:24-264).  Call
+        from the stream's producer thread, paired with a generation bump."""
+        self._lib.om_set_channels(self._h, stream, channels)
+
+    def stream_channels(self, stream: int) -> int:
+        return self._lib.om_stream_channels(self._h, stream)
 
     def fault_count(self, stream: int) -> int:
         return self._lib.om_fault_count(self._h, stream)

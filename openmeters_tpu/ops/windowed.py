@@ -51,6 +51,13 @@ class BlockWindowedMeans:
     dtype: object = jnp.float32
     refresh_steps: int = 32  # exact re-reduction cadence (drift bound)
 
+    def __post_init__(self):
+        # the ~1e-6 incremental-drift bound in the soak test is tied to this
+        # cadence; 0 would divide by zero at trace time, and raising it
+        # weakens the bound — revalidate test_ops soak if changed
+        if self.refresh_steps < 1:
+            raise ValueError(f"refresh_steps must be >= 1, got {self.refresh_steps}")
+
     @property
     def _qr(self):
         b = self.block_frames

@@ -22,7 +22,16 @@ def test_engine_fans_out_to_all_analyzers():
     sig = sine_wave(1000.0, 48_000.0, b, 0.5)
     block[0, :, 0] = block[0, :, 1] = sig
     carry, snaps = eng.step(carry, block, meta)
-    assert set(snaps) == {"loudness", "spectrogram", "spectrum"}
+    # all six analyzers by default, matching the reference registry
+    # (registry.rs:37-240)
+    assert set(snaps) == {
+        "loudness",
+        "spectrogram",
+        "spectrum",
+        "oscilloscope",
+        "stereometer",
+        "waveform",
+    }
     # loudness momentary reacts immediately; silent stream stays at floor
     assert float(snaps["loudness"].momentary_lufs[0]) > -30
     assert float(snaps["loudness"].momentary_lufs[1]) == pytest.approx(-99.9, abs=1e-3)

@@ -147,6 +147,95 @@ def test_format_switch_resets_at_boundary(runtime):
     assert resets[slot] >= 2
 
 
+def test_mono_producer_negotiates_and_pads(runtime):
+    """A 1-channel producer must deliver correct audio into channel 0 with
+    channel 1 zero-padded — the round-2 OOB-read regression case
+    (stream.rs:24-264 per-stream formats)."""
+    tp, rt, sock = runtime
+    c = ProducerClient(sock, {"app_name": "mono", "channels": 1})
+    slot = c.connect()
+    assert slot is not None and c.channels == 1
+    try:
+        x = 0.25 * np.ones((BLOCK * 8,), np.float32)
+        c.send_pcm(x, 0)  # 1-D payload: client shapes to [frames, 1]
+        time.sleep(0.1)
+        batch, reset, _, _ = tp.assemble()
+        assert reset[slot]  # generation reset on connect
+        got = np.asarray(batch)[slot]
+        assert np.allclose(got[:, 0], 0.25), got[:4]
+        assert np.allclose(got[:, 1], 0.0)
+    finally:
+        c.close()
+
+
+def test_wide_producer_clamped_to_negotiated(runtime):
+    """An 8-channel announce clamps to the transport width; the client
+    honors the negotiated count so the framed protocol stays in sync."""
+    tp, rt, sock = runtime
+    c = ProducerClient(sock, {"app_name": "wide", "channels": 8})
+    slot = c.connect()
+    assert slot is not None
+    assert c.channels == 2 and c.max_channels == 2
+    try:
+        pcm = np.tile(
+            np.asarray([[0.1, 0.2, 0.9, 0.9, 0.9, 0.9, 0.9, 0.9]], np.float32),
+            (BLOCK * 4, 1),
+        )
+        c.send_pcm(pcm, 0)  # truncated to the negotiated 2 columns
+        time.sleep(0.1)
+        batch, _, _, _ = tp.assemble()
+        got = np.asarray(batch)[slot]
+        assert np.allclose(got[:, 0], 0.1) and np.allclose(got[:, 1], 0.2)
+    finally:
+        c.close()
+
+
+def test_mid_stream_channel_switch_resets_cleanly(runtime):
+    """FORMAT stereo->mono mid-stream: old spans keep their layout, new
+    payload parses at the new width, one reset lands at the boundary."""
+    tp, rt, sock = runtime
+    c = ProducerClient(sock, {"app_name": "switcher", "channels": 2})
+    slot = c.connect()
+    try:
+        stereo = np.tile(np.asarray([[0.5, -0.5]], np.float32), (BLOCK * 2, 1))
+        c.send_pcm(stereo, 0)
+        c.send_format(1)
+        assert c.channels == 1
+        mono = 0.125 * np.ones((BLOCK * 2, 1), np.float32)
+        c.send_pcm(mono, int(BLOCK * 2 / RATE * 1e9))
+        time.sleep(0.15)
+        filled, resets = drain(tp, hops=8, sleep=0)
+        # both formats' audio arrived intact (no desync garbage)
+        assert filled[slot] >= BLOCK * 3
+        assert resets[slot] >= 2  # connect + renegotiation
+    finally:
+        c.close()
+
+
+def test_duplicate_identity_refused_while_live(runtime):
+    """Slot ownership: a second connection with the same identity while the
+    first is alive is refused; after the first closes, it can connect."""
+    tp, rt, sock = runtime
+    c1 = ProducerClient(sock, {"app_name": "dup"})
+    slot = c1.connect()
+    assert slot is not None
+    c2 = ProducerClient(sock, {"app_name": "dup"}, timeout=2.0)
+    assert c2.connect() is None
+    assert c2.refusal and c2.refusal.get("busy")
+    c1.close()
+    # the pump thread notices EOF and releases; retry until it does
+    deadline = time.monotonic() + 5.0
+    got = None
+    while time.monotonic() < deadline:
+        c3 = ProducerClient(sock, {"app_name": "dup"}, timeout=2.0)
+        got = c3.connect()
+        if got is not None:
+            c3.close()
+            break
+        time.sleep(0.05)
+    assert got == slot  # remembered identity re-acquired its slot
+
+
 def test_kill_churn_releases_and_recovers(runtime):
     tp, rt, sock = runtime
     p = spawn_producer(
