@@ -149,6 +149,11 @@ def cmd_selftest(args) -> int:
     cfg = EngineConfig(
         spectrogram=SpectrogramConfig(fft_size=1024, hop_size=256, use_reassignment=False),
         spectrum=None,
+        # smoke test stays small: the full six-analyzer default belongs to
+        # `analyze`/`serve`, not this compile-bound sanity check
+        oscilloscope=None,
+        stereometer=None,
+        waveform=None,
     )
     snaps = analyze(audio, rate, cfg)
     lufs = float(snaps[-1]["loudness"].momentary_lufs[0])

@@ -8,7 +8,12 @@ analyzer; streams shard data-parallel over a ``jax.sharding.Mesh`` with zero
 collectives in the hot loop.
 """
 
-from openmeters_tpu.engine.engine import EngineConfig, MeterEngine, StreamMeta  # noqa: F401
+from openmeters_tpu.engine.engine import (  # noqa: F401
+    EngineConfig,
+    MeterEngine,
+    StreamMeta,
+    scaled_block_frames,
+)
 from openmeters_tpu.engine.sharding import (  # noqa: F401
     STREAM_AXIS,
     make_mesh,

@@ -186,11 +186,20 @@ class MeterServer:
         warm_carry, warm_snaps = self._step(self.carry, zeros, self.meta, no_reset)
         warm_carry, warm_snaps = self._step(warm_carry, zeros, self.meta, no_reset)
         self._meter_mask = _meter_leaf_mask(warm_snaps, config.n_streams)
-        self._pack = _make_packer(
+        picked = (
             [True] * len(self._meter_mask)
             if config.fetch == "full"
             else self._meter_mask
         )
+        self._pack = _make_packer(picked)
+        # names/shapes of the packed leaves so consumers can unpack the
+        # fetched vector back into labeled meters (last_meters())
+        paths, _ = jax.tree_util.tree_flatten_with_path(warm_snaps)
+        self._packed_layout = [
+            (jax.tree_util.keystr(path), leaf.shape)
+            for (path, leaf), m in zip(paths, picked)
+            if m
+        ]
         # synchronize via a value fetch: on tunneled backends
         # block_until_ready can return before compilation finishes
         np.asarray(self._pack(warm_snaps))
@@ -246,6 +255,7 @@ class MeterServer:
             )
         dev_batch = jax.device_put(batch)
         self.carry, snaps = self._step(self.carry, dev_batch, self.meta, dev_reset)
+        self._dev_snaps = snaps  # device handle only; no host transfer
         # display-rate drain: pack+fetch every fetch_every-th hop (one
         # transfer); other hops stay on device (their state lives on in the
         # carry; the snapshot handle is simply dropped)
@@ -301,6 +311,29 @@ class MeterServer:
         self.stats.wall_seconds = time.perf_counter() - t_start
         return self.report()
 
+    def fetch_meters_now(self) -> dict[str, np.ndarray] | None:
+        """Synchronously fetch the newest on-device snapshot's meter leaves
+        (bypasses the display-rate drain cadence — for tests/controllers)."""
+        snaps = getattr(self, "_dev_snaps", None)
+        if snaps is None:
+            return None
+        self.last_snapshot = np.asarray(self._pack(snaps))
+        return self.last_meters()
+
+    def last_meters(self) -> dict[str, np.ndarray] | None:
+        """The most recently drained fetch, unpacked into named per-leaf
+        arrays (key = snapshot pytree path, e.g.
+        ``['loudness'].momentary_lufs``)."""
+        if self.last_snapshot is None:
+            return None
+        out = {}
+        off = 0
+        for name, shape in self._packed_layout:
+            size = int(np.prod(shape))
+            out[name] = self.last_snapshot[off : off + size].reshape(shape)
+            off += size
+        return out
+
     def report(self) -> dict:
         lat = np.asarray(self.latencies_ms, np.float64)
         ecfg = self.engine.config
@@ -329,6 +362,92 @@ class MeterServer:
             self._drain_one()
         if self._pool:
             self._pool.shutdown()
+
+
+class MultiRateMeterServer:
+    """Serve streams of several sample rates concurrently.
+
+    Reference parity: ``DspBatcher`` scales its batch frames by rate and the
+    processors are rebuilt per rate (meter.rs:20-25) — there is exactly one
+    engine *per rate*.  Batched equivalent: one :class:`MeterServer` (engine
+    + transport + compiled step) per rate bucket, plus one
+    :class:`~openmeters_tpu.ingest.runtime.SessionRuntime` routing producers
+    into their rate's transport by HELLO/FORMAT negotiation.
+
+    Rate-scaled blocks hold equal wall time (256@48k = 5.333 ms ≈ 235@44.1k),
+    so one clock advances every bucket.
+    """
+
+    def __init__(
+        self,
+        config: ServeConfig,
+        rates: tuple[float, ...] = (48_000.0,),
+        socket_path: str | None = None,
+        mesh=None,
+    ):
+        from openmeters_tpu.engine import scaled_block_frames
+
+        self.servers: dict[float, MeterServer] = {}
+        for r in sorted(float(r) for r in rates):
+            base = config.engine or EngineConfig()
+            ecfg = dataclasses.replace(
+                base, sample_rate=r, block_frames=scaled_block_frames(r)
+            )
+            self.servers[r] = MeterServer(
+                dataclasses.replace(config, engine=ecfg), mesh=mesh
+            )
+        self.runtime = None
+        if socket_path is not None:
+            from openmeters_tpu.ingest.runtime import SessionRuntime
+
+            self.runtime = SessionRuntime(
+                {r: s.transport for r, s in self.servers.items()},
+                socket_path,
+                max_channels=config.channels,
+            )
+
+    def advance(self) -> None:
+        for s in self.servers.values():
+            s.advance()
+
+    def run(self, duration_s: float) -> dict:
+        cadence = min(
+            s.engine.config.block_frames
+            * s.config.scan_hops
+            / s.engine.config.sample_rate
+            for s in self.servers.values()
+        )
+        t_start = time.perf_counter()
+        deadline = t_start + cadence
+        end = t_start + duration_s
+        while time.perf_counter() < end:
+            if self.config.realtime:
+                now = time.perf_counter()
+                if now < deadline:
+                    time.sleep(deadline - now)
+                deadline += cadence
+                if deadline < now:
+                    deadline = now + cadence
+            self.advance()
+        wall = time.perf_counter() - t_start
+        for s in self.servers.values():
+            while s._inflight:  # noqa: SLF001
+                s._drain_one()  # noqa: SLF001
+            s.stats.wall_seconds = wall
+        return self.report()
+
+    @property
+    def config(self) -> ServeConfig:
+        return next(iter(self.servers.values())).config
+
+    def report(self) -> dict:
+        return {rate: s.report() for rate, s in self.servers.items()}
+
+    def close(self) -> None:
+        if self.runtime is not None:
+            self.runtime.shutdown()
+        for s in self.servers.values():
+            s.close()
 
 
 def ingest_benchmark(

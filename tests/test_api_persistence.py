@@ -65,6 +65,7 @@ def test_analyze_wav_end_to_end(tmp_path):
     cfg = EngineConfig(
         spectrogram=SpectrogramConfig(fft_size=1024, hop_size=256, use_reassignment=False),
         spectrum=None,
+        oscilloscope=None, stereometer=None, waveform=None,
     )
     snaps = analyze_wav(str(p), cfg)
     assert len(snaps) == int(rate * 0.5) // 256

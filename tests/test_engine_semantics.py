@@ -45,6 +45,7 @@ def test_migrate_carry_preserves_unchanged_analyzers():
     cfg1 = EngineConfig(
         spectrogram=SpectrogramConfig(fft_size=256, hop_size=64, use_reassignment=False),
         spectrum=None,
+        oscilloscope=None, stereometer=None, waveform=None,
     )
     eng1 = MeterEngine(cfg1)
     carry = eng1.init(1)

@@ -126,6 +126,7 @@ def test_feeds_engine_end_to_end():
             channels=2,
             spectrogram=SpectrogramConfig(fft_size=256, hop_size=64),
             spectrum=None,
+            oscilloscope=None, stereometer=None, waveform=None,
         )
     )
     carry = eng.init(2)

@@ -147,6 +147,73 @@ def test_format_switch_resets_at_boundary(runtime):
     assert resets[slot] >= 2
 
 
+def test_runtime_restart_producer_recovers(tmp_path):
+    """Server-restart recovery (reference live_tests.rs:529-586): the
+    SessionRuntime dies mid-stream; the producer reconnects through its
+    session Backoff against the replacement runtime and audio flows again."""
+    import threading
+
+    tp = Transport(n_streams=2, channels=2, block_frames=BLOCK, sample_rate=RATE)
+    sock = str(tmp_path / "om.sock")
+    rt1 = SessionRuntime(tp, sock)
+
+    stop = threading.Event()
+    reconnects = []
+
+    def resilient_producer():
+        n = 0
+        while not stop.is_set():
+            try:
+                c = ProducerClient(sock, {"app_name": "phoenix"}, timeout=15.0)
+                slot = c.connect()
+                if slot is None:
+                    time.sleep(0.05)
+                    continue
+                reconnects.append(slot)
+                while not stop.is_set():
+                    x = 0.25 * np.ones((BLOCK, 2), np.float32)
+                    c.send_pcm(x, int(n / RATE * 1e9))
+                    n += BLOCK
+                    time.sleep(BLOCK / RATE)
+            except OSError:
+                time.sleep(0.02)  # link died: retry via a fresh connect
+
+    t = threading.Thread(target=resilient_producer, daemon=True)
+    t.start()
+    try:
+        # audio flows through the first runtime
+        deadline = time.monotonic() + 10.0
+        filled = np.zeros(2, np.int64)
+        while time.monotonic() < deadline and filled.sum() < 0.1 * RATE:
+            batch, _, _, _ = tp.assemble()
+            filled += np.count_nonzero(np.asarray(batch)[:, :, 0], axis=1)
+            time.sleep(0.004)
+        assert filled.sum() > 0.1 * RATE
+
+        # the server dies (socket gone); producer enters backoff
+        rt1.shutdown()
+        time.sleep(0.3)
+
+        # replacement runtime on the same socket + transport
+        rt2 = SessionRuntime(tp, sock)
+        try:
+            deadline = time.monotonic() + 15.0
+            refilled = np.zeros(2, np.int64)
+            while time.monotonic() < deadline and refilled.sum() < 0.1 * RATE:
+                batch, _, _, _ = tp.assemble()
+                refilled += np.count_nonzero(np.asarray(batch)[:, :, 0], axis=1)
+                time.sleep(0.004)
+            assert refilled.sum() > 0.1 * RATE  # recovered through rt2
+            assert len(reconnects) >= 2  # the client reconnected
+            assert "app.name:phoenix" in rt2.view()["active"]
+        finally:
+            stop.set()
+            t.join(timeout=5)
+            rt2.shutdown()
+    finally:
+        stop.set()
+
+
 def test_mono_producer_negotiates_and_pads(runtime):
     """A 1-channel producer must deliver correct audio into channel 0 with
     channel 1 zero-padded — the round-2 OOB-read regression case

@@ -98,6 +98,7 @@ def test_checkpoint_roundtrip(tmp_path):
     cfg = EngineConfig(
         spectrogram=SpectrogramConfig(fft_size=256, hop_size=64, use_reassignment=False),
         spectrum=None,
+        oscilloscope=None, stereometer=None, waveform=None,
     )
     eng = MeterEngine(cfg)
     carry = eng.init(2)
