@@ -39,6 +39,7 @@ def build_engine():
         spectrogram=SpectrogramConfig(fft_size=2048, hop_size=64, use_reassignment=False),
         spectrum=None,
         channels=2,
+        oscilloscope=None, stereometer=None, waveform=None,
     )
     return MeterEngine(cfg)
 
@@ -143,29 +144,60 @@ def build_config5_engine():
     )
 
 
+def build_reassigned_engine():
+    """The reference's DEFAULT spectrogram config: reassignment on, 2048/64
+    (processor.rs:58-59) — the sliding-analytic path."""
+    from openmeters_tpu.analyzers.spectrogram import SpectrogramConfig
+    from openmeters_tpu.engine import EngineConfig, MeterEngine
+
+    return MeterEngine(
+        EngineConfig(
+            channels=2,
+            loudness=None,
+            spectrogram=SpectrogramConfig(
+                fft_size=2048, hop_size=64, use_reassignment=True
+            ),
+            spectrum=None,
+            oscilloscope=None, stereometer=None, waveform=None,
+        )
+    )
+
+
+def _report(tag: str, r: dict) -> None:
+    print(
+        f"# {tag} S={r['n_streams']}: {r['step_ms']:.2f} ms/step, "
+        f"{r['streams_realtime']:.0f} streams realtime"
+        f" ({'REALTIME' if r['realtime'] else 'below realtime'})",
+        file=sys.stderr,
+    )
+
+
 def main():
-    if os.environ.get("OPENMETERS_BENCH_FULL"):
+    # Every BASELINE config prints on every run (driver-captured, not
+    # builder-claimed): the headline sweep below plus the reference-default
+    # reassigned spectrogram, the all-six suite, and config 5.
+    skip_extras = os.environ.get("OPENMETERS_BENCH_HEADLINE_ONLY")
+    if not skip_extras:
+        eng_r = build_reassigned_engine()
+        best_r = None
+        for n in (4096, 6144, 8192):
+            r = measure(eng_r, n, iters=32)
+            _report("reassigned-2048/64", r)
+            if r["realtime"] and (best_r is None or n > best_r):
+                best_r = n
+            if not r["realtime"]:
+                break
         eng = build_full_engine()
-        for n in (1024,):
-            r = measure(eng, n, iters=64)
-            print(
-                f"# full-suite S={r['n_streams']}: {r['step_ms']:.2f} ms/step, "
-                f"{r['streams_realtime']:.0f} streams realtime",
-                file=sys.stderr,
-            )
+        r = measure(eng, 1024, iters=64)
+        _report("all-six", r)
         eng5 = build_config5_engine()
         r = measure(eng5, 1024, iters=64)
-        print(
-            f"# config5 (osc+stereo+waveform) S=1024: {r['step_ms']:.2f} ms/step, "
-            f"{r['streams_realtime']:.0f} streams realtime"
-            f" ({'REALTIME' if r['realtime'] else 'below realtime'})",
-            file=sys.stderr,
-        )
+        _report("config5 (osc+stereo+waveform)", r)
 
     engine = build_engine()
     best = None
     results = []
-    for n in (8192, 16384, 24576):
+    for n in (8192, 16384, 20480):
         try:
             r = measure(engine, n)
         except Exception as e:  # OOM etc.

@@ -201,10 +201,41 @@ class SpectrogramAnalyzer:
             and self._sliding.supported
         )
 
+    @property
+    def _sliding_reassigned(self):
+        from openmeters_tpu.ops.sliding_reassigned import SlidingReassigned
+
+        cfg = self.config
+        return SlidingReassigned(
+            cfg.fft_size, cfg.hop_size, cfg.block_frames, cfg.window,
+            cfg.sample_rate,
+        )
+
+    @property
+    def use_sliding_reassigned(self) -> bool:
+        """Streaming-analytic reassigned path (ops/sliding_reassigned.py):
+        at high overlap (the stock 2048/64 default) the per-column Hilbert +
+        FFT chain is replaced by an overlap-save analytic stream plus
+        sliding U/V spectra — the reassigned analogue of the classic
+        sliding-DFT path."""
+        import os
+
+        cfg = self.config
+        if os.environ.get("OPENMETERS_SLIDING_REASSIGNED", "1") == "0":
+            return False
+        return (
+            cfg.use_reassignment
+            and cfg.zero_padding_factor == 1
+            and cfg.hop_size <= cfg.block_frames
+            and self._sliding_reassigned.supported
+        )
+
     def init(self, n_streams: int) -> dict:
         carry = {"fb": self._frames.init(n_streams)}
         if self.use_sliding:
             carry["sdft"] = self._sliding.init(n_streams)
+        if self.use_sliding_reassigned:
+            carry["srs"] = self._sliding_reassigned.init(n_streams)
         return carry
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -216,7 +247,9 @@ class SpectrogramAnalyzer:
         fb = self._frames
         fb_carry, info = fb.advance(carry["fb"], block, reset_mask)
         new_carry = {"fb": fb_carry}
-        if self.config.use_reassignment:
+        if self.use_sliding_reassigned:
+            new_carry["srs"], out = self._reassigned_sliding(carry["srs"], info)
+        elif self.config.use_reassignment:
             out = self._gated(info, self._reassigned)
         elif self.use_sliding:
             new_carry["sdft"], out = self._classic_sliding(carry["sdft"], info)
@@ -293,6 +326,29 @@ class SpectrogramAnalyzer:
             power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * norm
         db = power_to_db(power, DB_FLOOR)
         return ClassicColumns(codes=pack_classic_db(db), valid=valid)
+
+    # -- reassigned (sliding-analytic) ------------------------------------
+
+    def _reassigned_sliding(self, srs_carry, info):
+        cfg = self.config
+        srs = self._sliding_reassigned
+        new_carry, (freq_hz, time_offset, scaled_power, valid) = srs.step(
+            srs_carry, info
+        )
+        max_hz = cfg.sample_rate * 0.5
+        point_valid = (
+            (scaled_power >= ANALYSIS_FLOOR_POWER)
+            & (freq_hz > 0.0)
+            & (max_hz - freq_hz > 0.0)
+            & valid[..., None]
+        )
+        return new_carry, ReassignedColumns(
+            freq_hz=freq_hz,
+            time_offset=time_offset,
+            power=scaled_power,
+            point_valid=point_valid,
+            valid=valid,
+        )
 
     # -- reassigned -------------------------------------------------------
 

@@ -277,9 +277,12 @@ class MeterEngine:
         if "loudness" in self.analyzers:
             out["loudness"] = loudness_specs()
         if "spectrogram" in self.analyzers:
+            sg = self.analyzers["spectrogram"]
             out["spectrogram"] = {"fb": fb_specs()}
-            if self.analyzers["spectrogram"].use_sliding:
+            if sg.use_sliding:
                 out["spectrogram"]["sdft"] = sdft_specs()
+            if sg.use_sliding_reassigned:
+                out["spectrogram"]["srs"] = sg._sliding_reassigned.pspecs(axis)  # noqa: SLF001
         if "spectrum" in self.analyzers:
             sa = self.analyzers["spectrum"]
             out["spectrum"] = {"fb": fb_specs(), "smoothed": P(axis, None, None)}

@@ -125,6 +125,12 @@ class FrameBuffer:
             "base": (end - avail_p) % cap,
             "ready": ready,
             "valid": valid,
+            # extras for consumers with their own window bookkeeping (the
+            # sliding-reassigned path): the newest sample is at base + avail
+            # and valid masks can be rebuilt with stricter freshness rules
+            "avail": avail_p,
+            "fresh": fresh,
+            "origin_next": (origin + b) % cap,
         }
         return new_carry, info
 

@@ -1,0 +1,443 @@
+"""Sliding-analytic reassigned spectrogram for high-overlap hops.
+
+The reference's reassigned transform (spectrogram/processor.rs:439-608) per
+column: Hilbert over ``h = 2n`` raw samples, crop the center ``n``, three
+windowed FFTs (h, dh/dt, (t-c)h), per-bin corrections.  The round-2 fused
+Pallas kernel (ops/pallas_reassigned.py) computes exactly that chain per
+column — ~16 ms/step at the stock 2048/64 config and 4096 streams, 5x off
+realtime, because at hop 64 consecutive columns share 97% of their windows
+and the per-column FFT chain recomputes all of it.
+
+This module restructures the computation around streaming state, the same
+move that made the classic path fast (ops/sliding_stft.py):
+
+1. **The analytic signal becomes a stream.**  The ideal Hilbert transform
+   is time-invariant, so instead of one circular ``2n``-Hilbert per column,
+   an overlap-save FFT step produces ``block`` new imaginary-part samples
+   ``hx`` per engine hop into a ring aligned with the raw ring (margins
+   ``>= n/2`` on both sides — the same protection the reference gets from
+   cropping the center of its doubled window).
+2. **The per-column spectra slide.**  For the window of analytic samples
+   ``a = x + i*hx``, the unwindowed spectra
+
+       U[k] = sum_m a[s+m] e^{-i2pi k m / n}
+       V[k] = sum_m (m - c) a[s+m] e^{-i2pi k m / n}      (c = (n-1)/2)
+
+   advance by one hop with delta matmuls and a phasor rotation:
+
+       U' = rot * (U + sum_j (a_new[j] - a_old[j]) E[j])
+       V' = rot * (V - hop * U
+                   + sum_j ((c + hop - j) a_old[j]
+                            + (n + j - hop - c) a_new[j]) E[j])
+
+   with ``E[j,k] = e^{-i 2 pi k j / n}`` — O(hop * bins) per column instead
+   of O(n log n) FFT chains.  Since ``x`` and ``hx`` are real, both states
+   split into one-sided hermitian halves (``U = Ux + i*Uhx``), so all
+   state lives in ``[S, n/2+1]`` arrays.
+3. **Windowing stays in the frequency domain** (cosine-sum stencils over
+   U; the derivative window's exact stencil DW[+-j] = +-i*pi*j*c_j), and
+   the corrections are the reference's ratios.
+
+Exact MXU-FFT re-anchoring every ``refresh_steps`` engine steps bounds f32
+drift exactly like the classic sliding path.
+
+Differences vs the reference's per-column circular Hilbert (both are
+approximations of the ideal analytic signal): boundary effects enter
+through the overlap-save margins (>= n/2 samples, error ~1/(pi*margin))
+instead of through circular wrap at the same distance; and the h-window's
+circular DC/Nyquist bins are not zeroed (affects only bins within the
+stencil radius of 0 and n/2).  Both effects are orders of magnitude below
+the physics tolerances (2 Hz frequency, 1e-4 hop time, 1% power).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmeters_tpu.ops.fft import irfft_mxu, rfft_mxu
+from openmeters_tpu.ops.framing import FrameBuffer
+from openmeters_tpu.utils.windows import WindowKind
+
+_STATE_KEYS = ("uxr", "uxi", "uhr", "uhi", "vxr", "vxi", "vhr", "vhi")
+
+
+@dataclasses.dataclass(frozen=True)
+class SlidingReassigned:
+    fft_size: int  # n
+    hop: int
+    block: int
+    window: WindowKind
+    sample_rate: float
+    refresh_steps: int = 8
+
+    @property
+    def n(self) -> int:
+        return self.fft_size
+
+    @property
+    def bins(self) -> int:
+        return self.n // 2 + 1
+
+    @property
+    def h(self) -> int:
+        """Hilbert segment length == the reference's hilbert_len (2n)."""
+        return 2 * self.n
+
+    @property
+    def center(self) -> int:
+        return self.n // 2
+
+    @property
+    def margin(self) -> int:
+        """Lag of the hx stream behind the raw stream.  Must equal
+        ``center`` so the newest column's crop is exactly covered, and must
+        be block-aligned so ring writes never wrap mid-block."""
+        return self.center
+
+    @property
+    def supported(self) -> bool:
+        n, b = self.n, self.block
+        return (
+            n >= 512
+            and (n & (n - 1)) == 0
+            and self.hop * 4 <= n  # high overlap: where sliding wins
+            and self.margin % b == 0  # block-aligned hx ring writes
+            and n >= 2 * b  # overlap-save margins stay >= n/2
+        )
+
+    @property
+    def frames(self) -> FrameBuffer:
+        return FrameBuffer(self.h, self.hop, self.block)
+
+    @property
+    def extra_fresh(self) -> int:
+        """Post-reset guard beyond the h-window: the oldest hx sample a
+        column reads was synthesized from raw samples up to
+        ``seg - margin - block`` behind it, which reaches ``n - block``
+        samples past the h-window start."""
+        return self.h - self.margin - self.block - self.center
+
+    @property
+    def cols_cap(self) -> int:
+        return self.frames.cols_cap
+
+    # -- host constants ------------------------------------------------------
+
+    @functools.lru_cache(maxsize=None)  # noqa: B019 (frozen dataclass)
+    def _consts(self):
+        n, hop, bins = self.n, self.hop, self.bins
+        k = np.arange(bins)
+        rot = np.exp(2j * np.pi * k * hop / n)
+        j = np.arange(hop)
+        e = np.exp(-2j * np.pi * np.outer(j, k) / n)  # [hop, bins]
+        c = (n - 1) * 0.5
+        w_old = (c + hop - j)[:, None]
+        w_new = (n + j - hop - c)[:, None]
+        # fused delta matrix for one real input stream: rows [new; old],
+        # columns [U_re | U_im | V_re | V_im]
+        upd = np.concatenate(
+            [
+                np.concatenate([e.real, e.imag, w_new * e.real, w_new * e.imag], 1),
+                np.concatenate([-e.real, -e.imag, w_old * e.real, w_old * e.imag], 1),
+            ],
+            axis=0,
+        ).astype(np.float32)  # [2*hop, 4*bins]
+        ramp = (np.arange(n) - c).astype(np.float32)
+        return (
+            rot.real.astype(np.float32),
+            rot.imag.astype(np.float32),
+            upd,
+            ramp,
+        )
+
+    def _stencil_coeffs(self):
+        return tuple(float(a) for a in self.window.cosine_coefficients)
+
+    # -- state ---------------------------------------------------------------
+
+    def init(self, lanes: int) -> dict:
+        fbcap = self.frames.ring_len
+        state = {
+            k: jnp.zeros((lanes, self.bins), jnp.float32) for k in _STATE_KEYS
+        }
+        state["hx"] = jnp.zeros((lanes, fbcap), jnp.float32)
+        state["count"] = jnp.zeros((), jnp.int32)
+        state["anchored"] = jnp.zeros((), bool)
+        state["hx_avail"] = jnp.zeros((), jnp.int32)
+        return state
+
+    def pspecs(self, axis):
+        from jax.sharding import PartitionSpec as P
+
+        out = {k: P(axis, None) for k in _STATE_KEYS}
+        out["hx"] = P(axis, None)
+        out["count"] = P()
+        out["anchored"] = P()
+        out["hx_avail"] = P()
+        return out
+
+    # -- hilbert stream ------------------------------------------------------
+
+    def _hilbert_step(self, state: dict, info: dict):
+        """Produce ``block`` new hx samples via overlap-save and write them
+        into the hx ring at the slots of their raw counterparts."""
+        fb = self.frames
+        seg, b, cap = self.h, self.block, fb.cap
+        buf = info["buf"]
+        # newest seg raw samples (mirrored ring: any in-range read is
+        # contiguous); clipped reads during warmup produce garbage that
+        # hx_avail gating keeps out of valid columns
+        seg_start = jnp.clip(
+            (info["origin_next"] - seg) % cap, 0, fb.ring_len - seg
+        )
+        x_seg = jax.lax.dynamic_slice(
+            buf, (jnp.int32(0), seg_start), (buf.shape[0], seg)
+        )
+        spec = rfft_mxu(x_seg, seg)
+        sr, si = jnp.real(spec), jnp.imag(spec)
+        # Hilbert transfer -i*sgn: HX[k] = -i*X[k] for 0<k<seg/2, 0 at ends
+        mask = np.ones((seg // 2 + 1,), np.float32)
+        mask[0] = 0.0
+        mask[-1] = 0.0
+        hx_seg = irfft_mxu(si * mask, -sr * mask, seg)
+        emit = jax.lax.dynamic_slice(
+            hx_seg,
+            (jnp.int32(0), jnp.int32(seg - self.margin - b)),
+            (hx_seg.shape[0], b),
+        )
+        e0 = (info["origin_next"] - self.margin - b) % cap
+        hx = jax.lax.dynamic_update_slice(state["hx"], emit, (jnp.int32(0), e0))
+        hx = jax.lax.dynamic_update_slice(hx, emit, (jnp.int32(0), e0 + cap))
+        hx_avail = jnp.where(
+            info["avail"] >= seg,
+            jnp.minimum(state["hx_avail"] + b, cap),
+            0,
+        )
+        return hx, hx_avail
+
+    def _hx_slice(self, hx, info, offset, length: int):
+        start = jnp.clip(info["base"] + offset, 0, self.frames.ring_len - length)
+        return jax.lax.dynamic_slice(
+            hx, (jnp.int32(0), start), (hx.shape[0], length)
+        )
+
+    # -- spectra helpers -----------------------------------------------------
+
+    def _exact_states(self, info, hx, ramp):
+        """Exact one-sided spectra of the oldest ready window's crop (the
+        re-anchor target, mirroring sliding_stft's exact_col0)."""
+        fb = self.frames
+        n, c0 = self.n, self.center
+        x_crop = fb.slice(info, c0, n)
+        hx_crop = self._hx_slice(hx, info, c0, n)
+        # one batched pair-packed transform for all four real inputs
+        stacked = jnp.stack(
+            [x_crop, hx_crop, x_crop * ramp, hx_crop * ramp], axis=1
+        )  # [S, 4, n]
+        spec = rfft_mxu(stacked, n)
+        ux, uh, vx, vh = (spec[:, i] for i in range(4))
+        return {
+            "uxr": jnp.real(ux), "uxi": jnp.imag(ux),
+            "uhr": jnp.real(uh), "uhi": jnp.imag(uh),
+            "vxr": jnp.real(vx), "vxi": jnp.imag(vx),
+            "vhr": jnp.real(vh), "vhi": jnp.imag(vh),
+        }
+
+    def _slide(self, st: dict, info, hx, k: int, rot_r, rot_i, upd):
+        """Advance all 8 state arrays by one hop to column k's window."""
+        fb = self.frames
+        hop, n, c0 = self.hop, self.n, self.center
+        prev = c0 + (k - 1) * hop
+        prec = jax.lax.Precision.HIGHEST
+
+        def deltas(new, old):
+            d = jnp.concatenate([new, old], axis=-1)  # [S, 2*hop]
+            out = jnp.einsum("sj,jb->sb", d, upd, precision=prec)
+            b = self.bins
+            return out[:, :b], out[:, b : 2 * b], out[:, 2 * b : 3 * b], out[:, 3 * b :]
+
+        dxr, dxi, dvxr, dvxi = deltas(
+            fb.slice(info, prev + n, hop), fb.slice(info, prev, hop)
+        )
+        dhr, dhi, dvhr, dvhi = deltas(
+            self._hx_slice(hx, info, prev + n, hop),
+            self._hx_slice(hx, info, prev, hop),
+        )
+
+        def rotate(re, im):
+            return re * rot_r - im * rot_i, re * rot_i + im * rot_r
+
+        out = {}
+        out["uxr"], out["uxi"] = rotate(st["uxr"] + dxr, st["uxi"] + dxi)
+        out["uhr"], out["uhi"] = rotate(st["uhr"] + dhr, st["uhi"] + dhi)
+        out["vxr"], out["vxi"] = rotate(
+            st["vxr"] - hop * st["uxr"] + dvxr, st["vxi"] - hop * st["uxi"] + dvxi
+        )
+        out["vhr"], out["vhi"] = rotate(
+            st["vhr"] - hop * st["uhr"] + dvhr, st["vhi"] - hop * st["uhi"] + dvhi
+        )
+        return out
+
+    # -- stencils over the complex analytic spectra --------------------------
+
+    def _extend(self, st, which: str, jm: int):
+        """Complex U (or V) on bins [-jm, n/2 + jm] from the one-sided real
+        halves.  U[k] = X[k] + i*HX[k]; for k outside [0, n/2] both halves
+        reflect hermitian (X[-m] = conj(X[m]), X[n/2+m] = conj(X[n/2-m])),
+        so the combine flips sign on the imaginary parts."""
+        xr = st[f"{which}xr"]
+        xi = st[f"{which}xi"]
+        hr = st[f"{which}hr"]
+        hi = st[f"{which}hi"]
+        er_core = xr - hi
+        ei_core = xi + hr
+        if jm == 0:
+            return er_core, ei_core
+        # positions -jm..-1: mirror index m = jm..1
+        left_r = (xr[:, 1 : jm + 1] + hi[:, 1 : jm + 1])[:, ::-1]
+        left_i = (hr[:, 1 : jm + 1] - xi[:, 1 : jm + 1])[:, ::-1]
+        # positions n/2+1..n/2+jm: mirror index m = n/2-1..n/2-jm
+        b = self.bins
+        right_r = (xr[:, b - jm - 1 : b - 1] + hi[:, b - jm - 1 : b - 1])[:, ::-1]
+        right_i = (hr[:, b - jm - 1 : b - 1] - xi[:, b - jm - 1 : b - 1])[:, ::-1]
+        return (
+            jnp.concatenate([left_r, er_core, right_r], axis=-1),
+            jnp.concatenate([left_i, ei_core, right_i], axis=-1),
+        )
+
+    def _column(self, st: dict, consts):
+        """B/D/T stencils + reassignment corrections for the current window.
+
+        Returns (freq_hz, time_offset_hops, scaled_power) each [S, bins].
+        """
+        coeffs = self._stencil_coeffs()
+        jm = len(coeffs) - 1
+        n, bins = self.n, self.bins
+        norm = consts["norm"]
+
+        ur, ui = self._extend(st, "u", jm)
+        vr, vi = self._extend(st, "v", jm)
+
+        def sl(x, off):
+            return x[:, jm + off : jm + off + bins]
+
+        a0 = coeffs[0]
+        br, bi = a0 * sl(ur, 0), a0 * sl(ui, 0)
+        tr, ti = a0 * sl(vr, 0), a0 * sl(vi, 0)
+        dr = jnp.zeros_like(br)
+        di = jnp.zeros_like(bi)
+        for j in range(1, jm + 1):
+            half = 0.5 * coeffs[j]
+            br = br + half * (sl(ur, -j) + sl(ur, j))
+            bi = bi + half * (sl(ui, -j) + sl(ui, j))
+            tr = tr + half * (sl(vr, -j) + sl(vr, j))
+            ti = ti + half * (sl(vi, -j) + sl(vi, j))
+            g = np.pi * j * coeffs[j] / n  # D += i*g*(U[k-j] - U[k+j])
+            dr = dr - g * (sl(ui, -j) - sl(ui, j))
+            di = di + g * (sl(ur, -j) - sl(ur, j))
+
+        pow_raw = br * br + bi * bi
+        inv_pow = 1.0 / jnp.maximum(pow_raw, 1e-38)
+        d_omega = -(di * br - dr * bi) * inv_pow
+        freq_hz = consts["freq_base"] + d_omega * consts["inv_2pi"]
+        time_offset = (tr * br + ti * bi) * inv_pow * consts["inv_hop"] - consts[
+            "latency_hops"
+        ]
+        # 0.25: the reference's analytic signal is half-amplitude (one-sided
+        # selection without doubling, processor.rs:546-557); ours is
+        # full-amplitude, so |B|^2 carries a 4x to cancel before the same
+        # one-sided bin normalization applies
+        scaled_power = pow_raw * (0.25 * norm)
+        return freq_hz, time_offset, scaled_power
+
+    # -- the hop step --------------------------------------------------------
+
+    def step(self, state: dict, info: dict):
+        """One engine hop: returns ``(new_state, (freq, time, power, valid))``
+        with per-column arrays ``[S, cols_cap, bins]`` and the stricter
+        validity mask (h-window + hx-provenance post-reset)."""
+        from openmeters_tpu.utils.windows import (
+            fft_bin_normalization,
+            window_coefficients,
+        )
+
+        fb = self.frames
+        n = self.n
+        rot_r, rot_i, upd, ramp = self._consts()
+        rot_r = jnp.asarray(rot_r)
+        rot_i = jnp.asarray(rot_i)
+        upd = jnp.asarray(upd)
+
+        w = window_coefficients(self.window, n)
+        consts = {
+            "norm": jnp.asarray(fft_bin_normalization(w, n)),
+            "freq_base": jnp.asarray(
+                np.arange(self.bins, dtype=np.float32) * (self.sample_rate / n)
+            ),
+            "inv_2pi": self.sample_rate / (2.0 * np.pi),
+            "inv_hop": 1.0 / self.hop,
+            "latency_hops": self.center / self.hop,
+        }
+
+        hx, hx_avail = self._hilbert_step(state, info)
+
+        ready = info["ready"]
+        count = state["count"]
+        warm = hx_avail >= fb.cap - self.margin - self.center
+        refresh = (
+            ((count % self.refresh_steps == 0) | ~state["anchored"])
+            & (ready > 0)
+            & warm
+        )
+
+        st = {k: state[k] for k in _STATE_KEYS}
+        # column 0: exact re-anchor under a scalar cond, else slide
+        slid0 = self._slide(st, info, hx, 0, rot_r, rot_i, upd)
+        exact0 = jax.lax.cond(
+            refresh,
+            lambda: self._exact_states(info, hx, jnp.asarray(ramp)),
+            lambda: slid0,
+        )
+
+        freqs, times, powers = [], [], []
+        cur = st
+        for k in range(fb.cols_cap):
+            nxt = exact0 if k == 0 else self._slide(cur, info, hx, k, rot_r, rot_i, upd)
+            emit = jnp.int32(k) < ready
+            cur = {
+                key: jnp.where(emit, nxt[key], cur[key]) for key in _STATE_KEYS
+            }
+            f, t, p = self._column(cur, consts)
+            freqs.append(f)
+            times.append(t)
+            powers.append(p)
+
+        new_state = dict(cur)
+        new_state["hx"] = hx
+        new_state["count"] = count + 1
+        new_state["anchored"] = (state["anchored"] | refresh) & warm
+        new_state["hx_avail"] = hx_avail
+
+        # stricter validity: whole h-window AND the hx provenance tail must
+        # be post-reset (framing.py valid plus extra_fresh), plus hx warmup
+        k = jnp.arange(fb.cols_cap, dtype=jnp.int32)
+        tail = jnp.maximum((ready - 1 - k) * self.hop, 0)
+        need = self.h + self.extra_fresh + tail
+        valid = (
+            (k[None, :] < ready)
+            & (info["fresh"][:, None] >= need[None, :])
+            & warm
+            & new_state["anchored"]
+        )
+        out = (
+            jnp.stack(freqs, axis=1),
+            jnp.stack(times, axis=1),
+            jnp.stack(powers, axis=1),
+            valid,
+        )
+        return new_state, out

@@ -37,23 +37,27 @@ def build(name: str):
 
     spec = SpectrogramConfig(fft_size=2048, hop_size=64, use_reassignment=False)
     cfgs = {
-        "headline": EngineConfig(channels=2, spectrogram=spec, spectrum=None),
-        "loudness": EngineConfig(channels=2, spectrogram=None, spectrum=None),
-        "spectro": EngineConfig(channels=2, loudness=None, spectrogram=spec, spectrum=None),
+        "headline": EngineConfig(channels=2, spectrogram=spec, spectrum=None, oscilloscope=None, stereometer=None, waveform=None),
+        "loudness": EngineConfig(channels=2, spectrogram=None, spectrum=None, oscilloscope=None, stereometer=None, waveform=None),
+        "spectro": EngineConfig(channels=2, loudness=None, spectrogram=spec, spectrum=None, oscilloscope=None, stereometer=None, waveform=None),
         "reassigned64": EngineConfig(
             channels=2, loudness=None, spectrum=None,
             spectrogram=SpectrogramConfig(fft_size=2048, hop_size=64, use_reassignment=True),
+            oscilloscope=None, stereometer=None, waveform=None,
         ),
         "reassigned512": EngineConfig(
             channels=2, loudness=None, spectrum=None,
             spectrogram=SpectrogramConfig(fft_size=2048, hop_size=512, use_reassignment=True),
+            oscilloscope=None, stereometer=None, waveform=None,
         ),
         "spectrum": EngineConfig(
-            channels=2, loudness=None, spectrogram=None, spectrum=SpectrumConfig()
+            channels=2, loudness=None, spectrogram=None, spectrum=SpectrumConfig(),
+            oscilloscope=None, stereometer=None, waveform=None,
         ),
         "osc": EngineConfig(
             channels=2, loudness=None, spectrogram=None, spectrum=None,
             oscilloscope=OscilloscopeConfig(trigger_every=1),
+            stereometer=None, waveform=None,
         ),
         "config5": EngineConfig(
             channels=2, loudness=None, spectrogram=None, spectrum=None,
