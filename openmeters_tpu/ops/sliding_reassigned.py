@@ -54,12 +54,13 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from openmeters_tpu.ops.fft import irfft_mxu, rfft_mxu
+from openmeters_tpu.ops.fft import rfft_mxu
 from openmeters_tpu.ops.framing import FrameBuffer
 from openmeters_tpu.utils.windows import WindowKind
 
@@ -183,38 +184,65 @@ class SlidingReassigned:
 
     # -- hilbert stream ------------------------------------------------------
 
+    @property
+    def fir_half(self) -> int:
+        """Half-length of the windowed Hilbert FIR == the margin, so the
+        boundary protection matches the reference's n/2 crop margin."""
+        return self.margin
+
+    @functools.lru_cache(maxsize=None)  # noqa: B019 (frozen dataclass)
+    def _hilbert_matrix(self):
+        """Toeplitz matrix turning the newest ``block + 2*K`` raw samples
+        into ``block`` Hilbert-transform samples lagging ``margin`` behind:
+        one MXU matmul replaces the overlap-save FFT/IFFT chain (same
+        approximation class: the ideal Hilbert kernel 2/(pi t) truncated at
+        +-K with a Blackman taper ~ the FFT method's segment-boundary
+        error at the same distance)."""
+        k_half = self.fir_half
+        b = self.block
+        t = np.arange(-k_half, k_half + 1, dtype=np.float64)
+        ker = np.zeros_like(t)
+        odd = (np.abs(t) % 2) == 1
+        ker[odd] = 2.0 / (np.pi * t[odd])
+        # Blackman taper over the full support
+        m = t / k_half  # [-1, 1]
+        taper = 0.42 + 0.5 * np.cos(np.pi * m) + 0.08 * np.cos(2 * np.pi * m)
+        ker *= taper
+        win = b + 2 * k_half
+        i = np.arange(win)[:, None]
+        j = np.arange(b)[None, :]
+        idx = k_half + j + k_half - i  # ker index of x[start+i] for out j
+        m2 = np.where((idx >= 0) & (idx <= 2 * k_half), idx, 0)
+        mat = ker[m2] * ((idx >= 0) & (idx <= 2 * k_half))
+        return mat.astype(np.float32)  # [win, b]
+
     def _hilbert_step(self, state: dict, info: dict):
-        """Produce ``block`` new hx samples via overlap-save and write them
-        into the hx ring at the slots of their raw counterparts."""
+        """Produce ``block`` new hx samples (one Toeplitz matmul) and write
+        them into the hx ring at the slots of their raw counterparts."""
         fb = self.frames
-        seg, b, cap = self.h, self.block, fb.cap
+        b, cap = self.block, fb.cap
+        k_half = self.fir_half
+        win = b + 2 * k_half
         buf = info["buf"]
-        # newest seg raw samples (mirrored ring: any in-range read is
-        # contiguous); clipped reads during warmup produce garbage that
-        # hx_avail gating keeps out of valid columns
+        # raw window covering the emission span's +-K neighborhoods; the
+        # newest needed sample IS the newest sample (emission lags margin
+        # == K).  Clipped reads during warmup produce garbage that hx_avail
+        # gating keeps out of valid columns.
         seg_start = jnp.clip(
-            (info["origin_next"] - seg) % cap, 0, fb.ring_len - seg
+            (info["origin_next"] - win) % cap, 0, fb.ring_len - win
         )
-        x_seg = jax.lax.dynamic_slice(
-            buf, (jnp.int32(0), seg_start), (buf.shape[0], seg)
+        x_win = jax.lax.dynamic_slice(
+            buf, (jnp.int32(0), seg_start), (buf.shape[0], win)
         )
-        spec = rfft_mxu(x_seg, seg)
-        sr, si = jnp.real(spec), jnp.imag(spec)
-        # Hilbert transfer -i*sgn: HX[k] = -i*X[k] for 0<k<seg/2, 0 at ends
-        mask = np.ones((seg // 2 + 1,), np.float32)
-        mask[0] = 0.0
-        mask[-1] = 0.0
-        hx_seg = irfft_mxu(si * mask, -sr * mask, seg)
-        emit = jax.lax.dynamic_slice(
-            hx_seg,
-            (jnp.int32(0), jnp.int32(seg - self.margin - b)),
-            (hx_seg.shape[0], b),
+        emit = jnp.einsum(
+            "sw,wb->sb", x_win, jnp.asarray(self._hilbert_matrix()),
+            precision=jax.lax.Precision.HIGHEST,
         )
         e0 = (info["origin_next"] - self.margin - b) % cap
         hx = jax.lax.dynamic_update_slice(state["hx"], emit, (jnp.int32(0), e0))
         hx = jax.lax.dynamic_update_slice(hx, emit, (jnp.int32(0), e0 + cap))
         hx_avail = jnp.where(
-            info["avail"] >= seg,
+            info["avail"] >= win,
             jnp.minimum(state["hx_avail"] + b, cap),
             0,
         )
@@ -394,6 +422,99 @@ class SlidingReassigned:
             & (ready > 0)
             & warm
         )
+
+        from openmeters_tpu.ops.pallas_sliding import _interpret, pallas_enabled
+
+        use_fused = (pallas_enabled() or _interpret()) and os.environ.get(
+            "OPENMETERS_PALLAS_REASSIGNED", "1"
+        ) != "0"
+
+        if use_fused:
+            from openmeters_tpu.ops.pallas_sliding_reassigned import (
+                reassigned_sliding_hop,
+            )
+
+            hop, n_, c0 = self.hop, self.n, self.center
+            dxs, dhs = [], []
+            for k in range(fb.cols_cap):
+                prev = c0 + (k - 1) * hop
+                dxs.append(
+                    jnp.concatenate(
+                        [fb.slice(info, prev + n_, hop), fb.slice(info, prev, hop)],
+                        axis=-1,
+                    )
+                )
+                dhs.append(
+                    jnp.concatenate(
+                        [
+                            self._hx_slice(hx, info, prev + n_, hop),
+                            self._hx_slice(hx, info, prev, hop),
+                        ],
+                        axis=-1,
+                    )
+                )
+            dx = jnp.stack(dxs, axis=1)
+            dh = jnp.stack(dhs, axis=1)
+            st8 = tuple(state[k] for k in _STATE_KEYS)
+
+            def substitute(_):
+                # affine carry substitution: make the branch-free kernel's
+                # column 0 land exactly on freshly computed spectra
+                ex = self._exact_states(info, hx, jnp.asarray(ramp))
+                prec = jax.lax.Precision.HIGHEST
+                b = self.bins
+
+                def split4(d):
+                    out = jnp.einsum("sj,jb->sb", d, upd, precision=prec)
+                    return (
+                        out[:, :b], out[:, b : 2 * b],
+                        out[:, 2 * b : 3 * b], out[:, 3 * b :],
+                    )
+
+                dUxr, dUxi, dVxr, dVxi = split4(dx[:, 0])
+                dUhr, dUhi, dVhr, dVhi = split4(dh[:, 0])
+
+                def unrot(re, im):  # conj(rot) * z
+                    return re * rot_r + im * rot_i, im * rot_r - re * rot_i
+
+                uxr, uxi = unrot(ex["uxr"], ex["uxi"])
+                uhr, uhi = unrot(ex["uhr"], ex["uhi"])
+                vxr, vxi = unrot(ex["vxr"], ex["vxi"])
+                vhr, vhi = unrot(ex["vhr"], ex["vhi"])
+                uxr, uxi = uxr - dUxr, uxi - dUxi
+                uhr, uhi = uhr - dUhr, uhi - dUhi
+                return (
+                    uxr, uxi, uhr, uhi,
+                    vxr + hop * uxr - dVxr, vxi + hop * uxi - dVxi,
+                    vhr + hop * uhr - dVhr, vhi + hop * uhi - dVhi,
+                )
+
+            st_in = jax.lax.cond(refresh, substitute, lambda _: st8, None)
+            new8, f_out, t_out, p_out = reassigned_sliding_hop(
+                ready, st_in, dx, dh, jnp.asarray(upd),
+                rot_r[None], rot_i[None],
+                (0.25 * consts["norm"])[None], consts["freq_base"][None],
+                cols=fb.cols_cap, hop=hop, bins=self.bins, n=n_,
+                coeffs=self._stencil_coeffs(),
+                inv_2pi=float(consts["inv_2pi"]),
+                inv_hop=float(consts["inv_hop"]),
+                latency_hops=float(consts["latency_hops"]),
+            )
+            new_state = dict(zip(_STATE_KEYS, new8))
+            new_state["hx"] = hx
+            new_state["count"] = count + 1
+            new_state["anchored"] = (state["anchored"] | refresh) & warm
+            new_state["hx_avail"] = hx_avail
+            k = jnp.arange(fb.cols_cap, dtype=jnp.int32)
+            tail = jnp.maximum((ready - 1 - k) * self.hop, 0)
+            need = self.h + self.extra_fresh + tail
+            valid = (
+                (k[None, :] < ready)
+                & (info["fresh"][:, None] >= need[None, :])
+                & warm
+                & new_state["anchored"]
+            )
+            return new_state, (f_out, t_out, p_out, valid)
 
         st = {k: state[k] for k in _STATE_KEYS}
         # column 0: exact re-anchor under a scalar cond, else slide
