@@ -68,8 +68,9 @@ def _build(T, cols, hop, bins, n, coeffs, inv_2pi, inv_hop, latency_hops):
 
         st = [r[:] for r in st_refs]  # uxr uxi uhr uhi vxr vxi vhr vhi
 
-        def b3(d, lo_split=True):
-            """[T, 2*hop] x [2*hop, 4*bins] bf16x3 matmul."""
+        def b3(d):
+            """[T, 2*hop] x [2*hop, 4*bins] bf16x3 matmul (hi/lo split of
+            the deltas against host-pre-split f32 update matrices)."""
             d_hi = d.astype(jnp.bfloat16).astype(jnp.float32)
             d_lo = d - d_hi
             dn = (((1,), (0,)), ((), ()))
@@ -209,6 +210,7 @@ def reassigned_sliding_hop(
     tile = pl.BlockSpec((T, bins), lambda i, *_: (i, 0))
     dtile = pl.BlockSpec((T, 2 * hop), lambda i, *_: (i, 0))
     upd_hi = upd.astype(jnp.bfloat16).astype(jnp.float32)
+    upd_lo = upd - upd_hi
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(sp // T,),
@@ -229,7 +231,11 @@ def reassigned_sliding_hop(
             *[jax.ShapeDtypeStruct((sp, bins), jnp.float32)] * (3 * cols),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)  # stream tiles independent
+            dimension_semantics=("parallel",),  # stream tiles independent
+            # eight states + twelve column outputs + the fused delta matrix
+            # legitimately exceed the default 16 MB scoped budget at T=64;
+            # v5e has 128 MB of VMEM
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(
@@ -237,7 +243,7 @@ def reassigned_sliding_hop(
         *states,
         *[dx[:, k, :] for k in range(cols)],
         *[dh[:, k, :] for k in range(cols)],
-        upd_hi, upd - upd_hi,
+        upd_hi, upd_lo,
         rotr, roti, normq, freqb,
     )
     new_states = tuple(a[:s] if pad else a for a in outs[:_STATE])
