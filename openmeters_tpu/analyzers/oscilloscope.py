@@ -261,7 +261,13 @@ class OscilloscopeAnalyzer:
         k = self.kernel_cap
         lanes = s * self.n_trig  # stream-major flattening: lane = s*n + i
         carry = {
-            "hist": jnp.zeros((s, 3, 2 * self.ring_cap), jnp.float32),
+            # one ring per projection lane (ch1, ch2, trigger): separate
+            # arrays keep the single-lane trigger path a zero-copy view
+            # (slicing a [S, 3, L] middle axis materialized an ~80 MB copy
+            # per step at S=1024)
+            "hist": tuple(
+                jnp.zeros((s, 2 * self.ring_cap), jnp.float32) for _ in range(3)
+            ),
             "origin": jnp.zeros((), jnp.int32),
             "fresh": jnp.zeros((s,), jnp.int32),
             "tick": jnp.zeros((), jnp.int32),
@@ -288,7 +294,7 @@ class OscilloscopeAnalyzer:
         from jax.sharding import PartitionSpec as P
 
         specs = {
-            "hist": P(axis, None, None),
+            "hist": (P(axis, None),) * 3,
             "origin": P(),
             "fresh": P(axis),
             "tick": P(),
@@ -539,11 +545,7 @@ class OscilloscopeAnalyzer:
         sx = r1[:, 0] - r1[:, 1]
         sxx = r2[:, 0] - r2[:, 1]
 
-        def search_best(template):
-            scores = _corr_scores(
-                wf_re, wf_im, sx, sxx, template, klen, ph_re, ph_im,
-                self.corr_fft, scap,
-            )
+        def pick(scores):
             oidx = np.arange(scap + 1)
             ovalid = oidx[None, :] <= search[:, None]
             best = jnp.argmax(jnp.where(ovalid, scores, -jnp.inf), axis=-1)
@@ -556,8 +558,22 @@ class OscilloscopeAnalyzer:
             )
             return best.astype(jnp.int32), frac
 
+        # both templates' dense scores in ONE batched correlation: the
+        # template-reset re-search (match < 0.3 -> plain edge template) used
+        # to run under lax.cond, but at 1000+ streams ANY-stream events fire
+        # nearly every hop, so the batched pass is strictly cheaper than the
+        # conditional second pass (and removes its op-overhead entirely)
         template = template_of(use_reference)
-        best, frac = search_best(template)
+        template_edge = template_of(jnp.zeros_like(use_reference))
+        two = lambda a: jnp.concatenate([a, a], axis=0)  # noqa: E731
+        scores2 = _corr_scores(
+            two(wf_re), two(wf_im), two(sx), two(sxx),
+            jnp.concatenate([template, template_edge], axis=0),
+            two(klen), two(ph_re), two(ph_im),
+            self.corr_fft, scap,
+        )
+        scores, scores_edge = scores2[:s], scores2[s:]
+        best, frac = pick(scores)
 
         # candidate write + reference reset check (processor.rs:381-399,509-527)
         # (work padded by kcap so the capacity read [cstart, cstart+kcap)
@@ -587,19 +603,16 @@ class OscilloscopeAnalyzer:
         match = _norm_corr_single(reference, cand, kmask)
         do_reset = can_locate & confident & use_reference & (match < RESET_BELOW_MATCH)
 
-        # re-search without reference where reset fired — a rare event, so the
-        # second correlation pass runs under lax.cond (free in steady state)
-        def redo(args):
-            best0, frac0, cand0 = args
-            template2 = template_of(jnp.zeros_like(use_reference))
-            best2, frac2 = search_best(template2)
-            best1 = jnp.where(do_reset, best2, best0)
-            frac1 = jnp.where(do_reset, frac2, frac0)
-            cand1 = jnp.where(do_reset[:, None], candidate_at(best1), cand0)
-            return best1, frac1, cand1
-
-        best, frac, cand = jax.lax.cond(
-            jnp.any(do_reset), redo, lambda args: args, (best, frac, cand)
+        # reset lanes take the edge-template search result (both score sets
+        # were computed in the batched pass above); only the candidate
+        # re-gather stays conditional — it is small and per-reset
+        best_e, frac_e = pick(scores_edge)
+        best = jnp.where(do_reset, best_e, best)
+        frac = jnp.where(do_reset, frac_e, frac)
+        cand = jax.lax.cond(
+            jnp.any(do_reset),
+            lambda: jnp.where(do_reset[:, None], candidate_at(best), cand),
+            lambda: cand,
         )
         reference = jnp.where(do_reset[:, None], 0.0, reference)
 
@@ -693,7 +706,7 @@ class OscilloscopeAnalyzer:
         if reset_mask is not None:
             rm = reset_mask
             fresh = jnp.where(rm, 0, fresh)
-            hist = jnp.where(rm[:, None, None], 0.0, hist)
+            hist = tuple(jnp.where(rm[:, None], 0.0, h) for h in hist)
             rml = jnp.repeat(rm, n_trig)  # stream-major trigger lanes
             for k in state:
                 z = jnp.zeros_like(state[k])
@@ -716,20 +729,29 @@ class OscilloscopeAnalyzer:
         origin = carry["origin"]
         cap = self.ring_cap
         z = jnp.int32(0)
-        hist = jax.lax.dynamic_update_slice(hist, newest, (z, z, origin))
-        hist = jax.lax.dynamic_update_slice(hist, newest, (z, z, origin + cap))
+        hist = tuple(
+            jax.lax.dynamic_update_slice(
+                jax.lax.dynamic_update_slice(h, newest[:, t], (z, origin)),
+                newest[:, t],
+                (z, origin + cap),
+            )
+            for t, h in enumerate(hist)
+        )
         origin_next = (origin + b) % cap
         # logical right-aligned index L in [0, hist_len) lives at physical
         # shift + L; the mirror guarantees contiguity for length <= cap
         shift = (origin + b - hist_len) % cap
 
         fresh_ok = fresh >= jnp.int32(min(self.base_frames, hist_len))
-        # trigger inputs: [S * n_trig, 2*cap], stream-major lanes.  Static
-        # per-slot slicing — an int-array index is a gather, which XLA lowers
-        # to a serial per-row while loop on TPU (~7.8 ms/step at S=1024)
-        trig_flat = jnp.stack(
-            [hist[:, slot] for slot in lane_slots], axis=1
-        ).reshape(s * n_trig, 2 * cap)
+        # trigger inputs: [S * n_trig, 2*cap], stream-major lanes.  The
+        # single-lane case (linked trigger) passes its ring as-is — per-ring
+        # carries make that a zero-copy view
+        if n_trig == 1:
+            trig_flat = hist[lane_slots[0]]
+        else:
+            trig_flat = jnp.stack(
+                [hist[slot] for slot in lane_slots], axis=1
+            ).reshape(s * n_trig, 2 * cap)
         fresh_lane = jnp.repeat(fresh_ok, n_trig)
 
         def run_trigger(state):
@@ -762,19 +784,14 @@ class OscilloscopeAnalyzer:
             from openmeters_tpu.ops.pallas_rows import window_rows
 
             active = [t for t in range(TRACE_COUNT) if self.active_traces[t]]
-            extracted = {}
-            if active:
-                a = len(active)
-                sig = jnp.stack(
-                    [hist[:, t] for t in active], axis=1
-                ).reshape(s * a, 2 * cap)
-                starts = jnp.stack(
-                    [trace_cap("start", t) for t in active], axis=1
-                ).reshape(s * a)
-                win = window_rows(sig, starts + shift, self.window_cap).reshape(
-                    s, a, self.window_cap
+            # per-trace ring extraction: one window_rows per active trace on
+            # its own ring (no [S*traces, 2*cap] stack copy)
+            extracted = {
+                t: window_rows(
+                    hist[t], trace_cap("start", t) + shift, self.window_cap
                 )
-                extracted = {t: win[:, i] for i, t in enumerate(active)}
+                for t in active
+            }
             samples = []
             valids = []
             spans, starts_o, fracs = [], [], []
