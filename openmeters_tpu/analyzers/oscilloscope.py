@@ -558,22 +558,20 @@ class OscilloscopeAnalyzer:
             )
             return best.astype(jnp.int32), frac
 
-        # both templates' dense scores in ONE batched correlation: the
-        # template-reset re-search (match < 0.3 -> plain edge template) used
-        # to run under lax.cond, but at 1000+ streams ANY-stream events fire
-        # nearly every hop, so the batched pass is strictly cheaper than the
-        # conditional second pass (and removes its op-overhead entirely)
+        def search_best(template):
+            scores = _corr_scores(
+                wf_re, wf_im, sx, sxx, template, klen, ph_re, ph_im,
+                self.corr_fft, scap,
+            )
+            return pick(scores)
+
+        # NOTE (round-3 measurement): batching the edge template's scores
+        # into this pass unconditionally (to remove the redo cond below)
+        # measured WORSE at S=1024 — the always-on doubled correlation
+        # (~+2 ms) outweighs the conditional second pass (~0.8 ms/step
+        # amortized).  Keep the cond.
         template = template_of(use_reference)
-        template_edge = template_of(jnp.zeros_like(use_reference))
-        two = lambda a: jnp.concatenate([a, a], axis=0)  # noqa: E731
-        scores2 = _corr_scores(
-            two(wf_re), two(wf_im), two(sx), two(sxx),
-            jnp.concatenate([template, template_edge], axis=0),
-            two(klen), two(ph_re), two(ph_im),
-            self.corr_fft, scap,
-        )
-        scores, scores_edge = scores2[:s], scores2[s:]
-        best, frac = pick(scores)
+        best, frac = search_best(template)
 
         # candidate write + reference reset check (processor.rs:381-399,509-527)
         # (work padded by kcap so the capacity read [cstart, cstart+kcap)
@@ -603,16 +601,19 @@ class OscilloscopeAnalyzer:
         match = _norm_corr_single(reference, cand, kmask)
         do_reset = can_locate & confident & use_reference & (match < RESET_BELOW_MATCH)
 
-        # reset lanes take the edge-template search result (both score sets
-        # were computed in the batched pass above); only the candidate
-        # re-gather stays conditional — it is small and per-reset
-        best_e, frac_e = pick(scores_edge)
-        best = jnp.where(do_reset, best_e, best)
-        frac = jnp.where(do_reset, frac_e, frac)
-        cand = jax.lax.cond(
-            jnp.any(do_reset),
-            lambda: jnp.where(do_reset[:, None], candidate_at(best), cand),
-            lambda: cand,
+        # re-search without reference where reset fired — a rare event, so the
+        # second correlation pass runs under lax.cond (free in steady state)
+        def redo(args):
+            best0, frac0, cand0 = args
+            template2 = template_of(jnp.zeros_like(use_reference))
+            best2, frac2 = search_best(template2)
+            best1 = jnp.where(do_reset, best2, best0)
+            frac1 = jnp.where(do_reset, frac2, frac0)
+            cand1 = jnp.where(do_reset[:, None], candidate_at(best1), cand0)
+            return best1, frac1, cand1
+
+        best, frac, cand = jax.lax.cond(
+            jnp.any(do_reset), redo, lambda args: args, (best, frac, cand)
         )
         reference = jnp.where(do_reset[:, None], 0.0, reference)
 
