@@ -149,25 +149,18 @@ class LoudnessAnalyzer:
         kw_state = carry["kw"]
         if lane_reset is not None:
             kw_state = jnp.where(lane_reset, 0.0, kw_state)
-        # K-weighting cascade as the sequential unrolled XLA scan.  The
-        # Pallas hop kernel (ops/pallas_iir.py, OPENMETERS_PALLAS_KW) runs
-        # the recurrence ~1.5x faster in isolation, but its custom-call
-        # boundary makes XLA insert layout-change copies of the *other*
-        # loudness carries (147 MB means-suffix + gating histograms) every
-        # hop — 2.67 -> 32.8 ms/step end-to-end on v5e.  Kept opt-in until
-        # the carry layouts can be pinned (NOTES.md round-2).
+        # K-weighting cascade as the sequential unrolled XLA scan.  A Pallas
+        # hop kernel ran the recurrence ~1.5x faster in isolation but lost
+        # end-to-end (2.67 -> 32.8 ms/step on v5e): the custom-call boundary
+        # makes XLA insert layout-change copies of the *other* loudness
+        # carries (147 MB means-suffix + gating histograms) every hop, and
+        # pinning the carry layouts via jax.experimental.layout made it
+        # worse still (row-major pins force an 18.9 GB relayout copy of the
+        # means ring; OOM).  Deleted in round 3 — see NOTES.md.
         import os
-
-        from openmeters_tpu.ops.pallas_iir import biquad_cascade_hop
 
         if os.environ.get("OPENMETERS_LIFTED_KW"):
             filtered, kw_state = lifted_iir_scan(x, kw_state, self._kw_coeffs)
-        elif os.environ.get("OPENMETERS_PALLAS_KW"):
-            y, z = biquad_cascade_hop(
-                x.reshape(b, s * c), kw_state.reshape(4, s * c), self._kw_coeffs
-            )
-            filtered = y.reshape(b, s, c)
-            kw_state = z.reshape(4, s, c)
         else:
             seq_state = jnp.stack(
                 [kw_state[0:2], kw_state[2:4]]

@@ -92,22 +92,11 @@ class TruePeakKernel:
             carry = jnp.where(reset_mask, 0.0, carry)
         d = self.delay
 
-        from openmeters_tpu.ops.pallas_truepeak import (
-            truepeak_block,
-            truepeak_supported,
-        )
-
-        if truepeak_supported() and t >= d:
-            # fused kernel: one VMEM-resident read of the block instead of
-            # ~36 partially-fused shifted passes (ops/pallas_truepeak.py)
-            lane_shape = x.shape[1:]
-            lanes = int(np.prod(lane_shape)) if lane_shape else 1
-            peak, new_tail = truepeak_block(
-                x.reshape(t, lanes), carry.reshape(d - 1, lanes),
-                factor=self.factor,
-            )
-            return new_tail.reshape(d - 1, *lane_shape), peak.reshape(lane_shape)
-
+        # A fused Pallas kernel for this FIR beat the shifted-pass XLA form
+        # in isolation but lost fused into the loudness graph (2.56 -> 3.04
+        # ms/step on v5e — the same custom-call layout trap as the
+        # K-weighting kernel; layout pinning made it worse).  Deleted in
+        # round 3 — see NOTES.md.
         taps = polyphase_taps(self.factor)
         xx = jnp.concatenate([carry, x], axis=0)  # [T + D - 1, lanes...]
         # y_p[n] = sum_i x[n - i] * taps[i, p]; x[n - i] == xx[D - 1 + n - i].
