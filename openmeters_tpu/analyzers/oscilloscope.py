@@ -334,7 +334,7 @@ class OscilloscopeAnalyzer:
         power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
         ac = irfft_mxu(power, jnp.zeros_like(power), nfft)[..., : max_lag + 1]
 
-        e = jnp.cumsum(c * c, axis=-1)
+        e = _cumsum_mxu(c * c)
         e = jnp.concatenate([jnp.zeros_like(e[..., :1]), e], axis=-1)  # [S, P+1]
         total = e[..., -1]
         taus = np.arange(max_lag + 1)
@@ -532,7 +532,7 @@ class OscilloscopeAnalyzer:
         ph_re, ph_im = _shift_phase(base, self.corr_fft)
 
         def padded_cumsum(v):
-            c = jnp.cumsum(v, axis=-1)
+            c = _cumsum_mxu(v)
             zero = jnp.zeros_like(c[..., :1])
             return jnp.concatenate(
                 [zero, c, jnp.broadcast_to(c[..., -1:], (*c.shape[:-1], scap))],
@@ -871,6 +871,36 @@ class OscilloscopeAnalyzer:
 
 
 # -- helpers -------------------------------------------------------------------
+
+
+def _cumsum_mxu(v):
+    """Inclusive cumsum along the last axis as a block-triangular MXU matmul.
+
+    ``jnp.cumsum`` lowers to a log-depth pad-chain on TPU (~13 full-array
+    passes at L=7200, plus [.., nb, 128] layout transposes — ~1 ms/step in
+    the oscilloscope at S=1024).  Here: intra-block prefix = ``[S, nb, 128]
+    x [128, 128]`` lower-triangular dot, inter-block = a cheap cumsum over
+    the ``[S, nb]`` block totals.  ``precision=HIGH`` (bf16x3 passes) with a
+    0/1 triangular matrix splits the *data* mantissa across passes, so the
+    result is exact to the f32 mantissa with f32 accumulation — the same
+    error class as the XLA cumsum.  (An explicit in-graph hi/mid/lo split
+    does NOT work: XLA's algebraic simplifier merges the three dots back
+    into one bf16 dot — measured 3e-3 relative error.)
+    """
+    s, length = v.shape
+    blk = 128
+    nb = -(-length // blk)
+    pad = nb * blk - length
+    vp = jnp.pad(v, ((0, 0), (0, pad))) if pad else v
+    vb = vp.reshape(s, nb, blk)
+    tri = jnp.asarray(np.tril(np.ones((blk, blk), np.float32)).T)  # [k, l]: k<=l
+    intra = jnp.einsum(
+        "snk,kl->snl", vb, tri, precision=jax.lax.Precision.HIGH
+    )
+    totals = intra[..., -1]  # [S, nb]
+    carry = jnp.cumsum(totals, axis=-1) - totals  # exclusive block prefix
+    out = (intra + carry[..., None]).reshape(s, nb * blk)
+    return out[:, :length] if pad else out
 
 
 def _parabolic_refine(y0, y1, y2, tau):
