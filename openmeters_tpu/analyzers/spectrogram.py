@@ -295,7 +295,7 @@ class SpectrogramAnalyzer:
         norm = fft_bin_normalization(w, cfg.fft_size)
         from openmeters_tpu.ops.pallas_sliding import pallas_enabled
 
-        if pallas_enabled() and self._sliding.fused_fits_vmem:
+        if pallas_enabled() and self._sliding.fused_supported:
             # fused Pallas hop: slide + window + dB + u16 pack in one kernel
             new_sdft, codes = self._sliding.step_fused(
                 sdft, info, norm, DB_FLOOR, emit_codes=True

@@ -237,7 +237,7 @@ class SpectrumAnalyzer:
             # grid), holding the previous dB outputs in the carry.
             from openmeters_tpu.ops.pallas_sliding import pallas_enabled
 
-            fused = pallas_enabled() and self._sliding.fused_fits_vmem
+            fused = pallas_enabled() and self._sliding.fused_supported
 
             def slide(sdft):
                 if fused:

@@ -55,6 +55,53 @@ def _interpret() -> bool:
     return bool(os.environ.get("OPENMETERS_PALLAS_INTERPRET"))
 
 
+BIN_TILE = 512  # lane width of one bin tile in the tiled kernel
+
+
+def fits_vmem(hop: int, bins: int) -> bool:
+    """Whole-row kernel: the ``[hop, bins]`` re+im update constants must
+    fit the scoped-VMEM budget."""
+    return 2 * 4 * hop * bins <= 6 * 2**20
+
+
+def fused_supported(hop: int, bins: int) -> bool:
+    """Small configs ride the whole-row kernel; larger ones need the
+    bin-tiled grid, which requires the Nyquist bin on a tile boundary
+    (every pow2 fft >= 1024)."""
+    return fits_vmem(hop, bins) or (bins - 1) % 512 == 0
+
+
+HALO = 8  # halo lanes per side; bounds the stencil reach (len(coeffs) - 1)
+
+
+def _dot3(d_hi, d_lo, hi_ref, lo_ref):
+    """bf16x3 matmul of a pre-split data operand against pre-split
+    constants (~1e-6 relative): half the MXU passes of HIGHEST."""
+    dn = (((1,), (0,)), ((), ()))
+    return (
+        jax.lax.dot_general(
+            d_hi, hi_ref[:], dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            d_hi, lo_ref[:], dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            d_lo, hi_ref[:], dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+    )
+
+
+def _pack(db, out_ref):
+    code = jnp.clip(jnp.round((db - STORE_LO) * STORE_SCALE), 0.0, 65535.0)
+    # biased i16 out (Mosaic has no u16 cast but i32->i16 is exact for
+    # code-32768): halves the HBM write vs i32; the +32768 un-bias fuses
+    # into the stack pass outside
+    out_ref[:] = (code.astype(jnp.int32) - 32768).astype(jnp.int16)
+
+
 def _build(T, cols, hop, bins, n, coeffs, floor_db, emit_codes):
     a0 = float(coeffs[0])
     halves = [0.5 * float(a) for a in coeffs[1:]]
@@ -78,30 +125,12 @@ def _build(T, cols, hop, bins, n, coeffs, floor_db, emit_codes):
             d = d_refs[k][:]
             # f32-accurate slide via bf16x3 (hi/lo split of the deltas
             # against host-pre-split update matrices): ~1e-6 relative per
-            # slide, bounded by the 8-step exact re-anchor — half the MXU
-            # passes of precision=HIGHEST
+            # slide, bounded by the 8-step exact re-anchor
             d_hi = d.astype(jnp.bfloat16).astype(jnp.float32)
             d_lo = d - d_hi
 
-            def b3(hi_ref, lo_ref):
-                dn = (((1,), (0,)), ((), ()))
-                return (
-                    jax.lax.dot_general(
-                        d_hi, hi_ref[:], dimension_numbers=dn,
-                        preferred_element_type=jnp.float32,
-                    )
-                    + jax.lax.dot_general(
-                        d_hi, lo_ref[:], dimension_numbers=dn,
-                        preferred_element_type=jnp.float32,
-                    )
-                    + jax.lax.dot_general(
-                        d_lo, hi_ref[:], dimension_numbers=dn,
-                        preferred_element_type=jnp.float32,
-                    )
-                )
-
-            dr = b3(updr_ref, updr_lo_ref)
-            di = b3(updi_ref, updi_lo_ref)
+            dr = _dot3(d_hi, d_lo, updr_ref, updr_lo_ref)
+            di = _dot3(d_hi, d_lo, updi_ref, updi_lo_ref)
             tr = fr + dr
             ti = fi + di
             nfr = tr * rotr - ti * roti
@@ -140,15 +169,146 @@ def _build(T, cols, hop, bins, n, coeffs, floor_db, emit_codes):
                 db = jnp.maximum(
                     jnp.log(jnp.maximum(p, 1e-45)) * LN_TO_DB, floor_db
                 )
-                code = jnp.clip(
-                    jnp.round((db - STORE_LO) * STORE_SCALE), 0.0, 65535.0
+                _pack(db, out_refs[k])
+            else:
+                out_refs[k][:] = p
+
+        ofr_ref[:] = fr
+        ofi_ref[:] = fi
+
+    return kern
+
+
+def _build_tiled(T, cols, hop, bins, n, coeffs, floor_db, emit_codes, BT):
+    """Bin-tiled variant for configs whose ``[hop, bins]`` update constants
+    exceed VMEM (the stock 16384/1024 spectrum): grid ``(n_bt, n_st)`` with
+    the bin tile OUTER so each update-matrix block streams from HBM once
+    per hop.  The window stencil's cross-tile reach comes from 8-lane halo
+    states slid in-kernel by dedicated ``[hop, HALO]`` matmuls; the
+    hermitian edge fixes read the tile-0 / last-tile halos (their masks
+    are on global lane indices, so they are no-ops elsewhere).
+
+    Halo convention: ``hlo`` covers global bins ``[j*BT-HALO, j*BT)`` for
+    tile ``j>0`` and bins ``[0, HALO)`` for tile 0 (= the hermitian lo
+    edge); ``hhi`` covers bins ``[(j+1)*BT, (j+1)*BT+HALO)``.  For pow2
+    ``bins-1`` divisible by BT, the Nyquist fix values live in the last
+    tile's ``hlo``.
+    """
+    a0 = float(coeffs[0])
+    halves = [0.5 * float(a) for a in coeffs[1:]]
+    assert len(halves) < HALO
+    assert (bins - 1) % BT == 0, "Nyquist must sit at lane 0 of a tile"
+
+    def kern(ready_ref, fr_ref, fi_ref, *rest):
+        d_refs = rest[:cols]
+        (updr_ref, updr_lo_ref, updi_ref, updi_lo_ref, rotr_ref, roti_ref,
+         dc_ref, norm_ref,
+         hfr_ref, hfi_ref, uhr_ref, uhr_lo_ref, uhi_ref, uhi_lo_ref,
+         rhr_ref, rhi_ref,
+         gfr_ref, gfi_ref, ugr_ref, ugr_lo_ref, ugi_ref, ugi_lo_ref,
+         rgr_ref, rgi_ref,
+         ofr_ref, ofi_ref) = rest[cols : cols + 26]
+        out_refs = rest[cols + 26 :]
+        ready = ready_ref[0]
+        fr = fr_ref[:]
+        fi = fi_ref[:]
+        hfr = hfr_ref[:]
+        hfi = hfi_ref[:]
+        gfr = gfr_ref[:]
+        gfi = gfi_ref[:]
+        rotr = rotr_ref[:]
+        roti = roti_ref[:]
+        rhr = rhr_ref[0:1]  # tile's rot row, repeated to an 8-sublane block
+        rhi = rhi_ref[0:1]
+        rgr = rgr_ref[0:1]
+        rgi = rgi_ref[0:1]
+        jt = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, BT), 1)
+        glane = lane + jt * BT
+
+        for k in range(cols):
+            d = d_refs[k][:]
+            d_hi = d.astype(jnp.bfloat16).astype(jnp.float32)
+            d_lo = d - d_hi
+            emit = jnp.int32(k) < ready
+
+            def slide(sr, si, ur, url, ui, uil, rr, ri):
+                tr = sr + _dot3(d_hi, d_lo, ur, url)
+                ti = si + _dot3(d_hi, d_lo, ui, uil)
+                nr = tr * rr - ti * ri
+                ni = tr * ri + ti * rr
+                return (
+                    jnp.where(emit, nr, sr),
+                    jnp.where(emit, ni, si),
                 )
-                # biased i16 out (Mosaic has no u16 cast but i32->i16 is
-                # exact for code-32768): halves the HBM write vs i32; the
-                # +32768 un-bias fuses into the stack pass outside
-                out_refs[k][:] = (code.astype(jnp.int32) - 32768).astype(
-                    jnp.int16
+
+            fr, fi = slide(
+                fr, fi, updr_ref, updr_lo_ref, updi_ref, updi_lo_ref,
+                rotr, roti,
+            )
+            hfr, hfi = slide(
+                hfr, hfi, uhr_ref, uhr_lo_ref, uhi_ref, uhi_lo_ref, rhr, rhi
+            )
+            gfr, gfi = slide(
+                gfr, gfi, ugr_ref, ugr_lo_ref, ugi_ref, ugi_lo_ref, rgr, rgi
+            )
+
+            wr = a0 * fr
+            wi = a0 * fi
+            for j, half in enumerate(halves, start=1):
+                lo_r = pltpu.roll(fr, j, 1)
+                lo_i = pltpu.roll(fi, j, 1)
+                hi_r = pltpu.roll(fr, BT - j, 1)  # roll by -j (mod BT)
+                hi_i = pltpu.roll(fi, BT - j, 1)
+                for e in range(j):
+                    # local halo fill: lane e reads prev-tile bin
+                    # j*BT + e - j  = hlo column HALO + e - j
+                    m = lane == e
+                    hc = HALO + e - j
+                    lo_r = jnp.where(m, hfr[:, hc : hc + 1], lo_r)
+                    lo_i = jnp.where(m, hfi[:, hc : hc + 1], lo_i)
+                    # lane BT-j+e reads next-tile bin (j+1)*BT + e
+                    m2 = lane == (BT - j + e)
+                    hi_r = jnp.where(m2, gfr[:, e : e + 1], hi_r)
+                    hi_i = jnp.where(m2, gfi[:, e : e + 1], hi_i)
+                for e in range(j):
+                    # hermitian lo edge (tile 0 only: hlo = bins [0, HALO))
+                    m = glane == e
+                    lo_r = jnp.where(m, hfr[:, j - e : j - e + 1], lo_r)
+                    lo_i = jnp.where(m, -hfi[:, j - e : j - e + 1], lo_i)
+                    # hermitian Nyquist edge: value bin bins-1-j+e.  With
+                    # bins-1 on a tile boundary, lane bins-1 (e=0) sits at
+                    # lane 0 of tile L — its value lives in that tile's
+                    # prev-halo (column HALO-1-j) — while lanes bins-1-e
+                    # (e>=1) sit at the TOP of tile L-1, where the value
+                    # bin is in-tile at local lane BT-1-j+e.
+                    m2 = glane == (bins - 1 - e)
+                    if e == 0:
+                        # tile L's hlo covers bins [bins-1-HALO, bins-1):
+                        # bin bins-1-j -> column HALO-j
+                        qr = hfr[:, HALO - j : HALO - j + 1]
+                        qi = hfi[:, HALO - j : HALO - j + 1]
+                    else:
+                        # tile L-1 starts at bins-1-BT: bin bins-1-j+e ->
+                        # local lane BT-j+e
+                        qr = fr[:, BT - j + e : BT - j + e + 1]
+                        qi = fi[:, BT - j + e : BT - j + e + 1]
+                    hi_r = jnp.where(m2, qr, hi_r)
+                    hi_i = jnp.where(m2, -qi, hi_i)
+                wr = wr + half * (lo_r + hi_r)
+                wi = wi + half * (lo_i + hi_i)
+
+            # DC correction: mean = post-slide bin 0 / n.  dc_corr is
+            # nonzero only at bins [0, len(coeffs)) (tile 0), where hlo
+            # column 0 IS bin 0; elsewhere dc block is all zeros.
+            mean = hfr[:, 0:1] * (1.0 / n)
+            wr = wr - mean * dc_ref[:]
+            p = (wr * wr + wi * wi) * norm_ref[:]
+            if emit_codes:
+                db = jnp.maximum(
+                    jnp.log(jnp.maximum(p, 1e-45)) * LN_TO_DB, floor_db
                 )
+                _pack(db, out_refs[k])
             else:
                 out_refs[k][:] = p
 
@@ -190,49 +350,197 @@ def sliding_hop(
         deltas = jnp.pad(deltas, ((0, pad), (0, 0), (0, 0)))
     sp = s + pad
     d_cols = [deltas[:, k, :] for k in range(cols)]
-
-    kern = _build(T, cols, hop, bins, n, coeffs, floor_db, emit_codes)
     out_dtype = jnp.int16 if emit_codes else jnp.float32
-    row = pl.BlockSpec((1, bins), lambda i, *_: (0, 0))
-    tile = pl.BlockSpec((T, bins), lambda i, *_: (i, 0))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(sp // T,),
-        in_specs=[
-            tile, tile,
-            *[pl.BlockSpec((T, hop), lambda i, *_: (i, 0)) for _ in range(cols)],
-            *[pl.BlockSpec((hop, bins), lambda i, *_: (0, 0)) for _ in range(4)],
-            row, row, row, row,
-        ],
-        out_specs=[tile, tile, *[tile for _ in range(cols)]],
-    )
     # host-side bf16 hi/lo split of the update matrices (the data operand
     # splits in-kernel)
     updr_hi = updr.astype(jnp.bfloat16).astype(jnp.float32)
     updi_hi = updi.astype(jnp.bfloat16).astype(jnp.float32)
+
+    if fits_vmem(hop, bins):
+        kern = _build(T, cols, hop, bins, n, coeffs, floor_db, emit_codes)
+        row = pl.BlockSpec((1, bins), lambda i, *_: (0, 0))
+        tile = pl.BlockSpec((T, bins), lambda i, *_: (i, 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(sp // T,),
+            in_specs=[
+                tile, tile,
+                *[
+                    pl.BlockSpec((T, hop), lambda i, *_: (i, 0))
+                    for _ in range(cols)
+                ],
+                *[
+                    pl.BlockSpec((hop, bins), lambda i, *_: (0, 0))
+                    for _ in range(4)
+                ],
+                row, row, row, row,
+            ],
+            out_specs=[tile, tile, *[tile for _ in range(cols)]],
+        )
+        outs = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((sp, bins), jnp.float32),
+                jax.ShapeDtypeStruct((sp, bins), jnp.float32),
+                *[
+                    jax.ShapeDtypeStruct((sp, bins), out_dtype)
+                    for _ in range(cols)
+                ],
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)  # stream tiles independent
+            ),
+            interpret=_interpret(),
+        )(
+            jnp.asarray([ready], jnp.int32).astype(jnp.int32),
+            fr, fi, *d_cols,
+            updr_hi, updr - updr_hi, updi_hi, updi - updi_hi,
+            rotr, roti, dc_corr, norm,
+        )
+        fr2, fi2 = outs[0], outs[1]
+        out = jnp.stack(outs[2:], axis=1)
+        if emit_codes:
+            # un-bias the i16 codes; XLA fuses this into the stack pass
+            out = (out.astype(jnp.int32) + 32768).astype(jnp.uint16)
+        if pad:
+            fr2, fi2, out = fr2[:s], fi2[:s], out[:s]
+        return fr2, fi2, out
+
+    # ---- bin-tiled path (large-FFT configs) ----
+    BT = BIN_TILE
+    assert (bins - 1) % BT == 0, (bins, BT)
+    n_bt = (bins + BT - 1) // BT
+    bpad = n_bt * BT - bins
+
+    def padb(x):
+        return jnp.pad(x, ((0, 0), (0, bpad))) if bpad else x
+
+    # the sliding state is STORED padded to the tile grid
+    # (SlidingSTFT.store_bins) so steady-state hops move no pad copies
+    assert fr.shape[1] in (bins, n_bt * BT), fr.shape
+    frp = padb(fr) if fr.shape[1] == bins else fr
+    fip = padb(fi) if fi.shape[1] == bins else fi
+    rotp, rotip = padb(rotr), padb(roti)
+    dcp, normp = padb(dc_corr), padb(norm)
+    urp, urlp = padb(updr_hi), padb(updr - updr_hi)
+    uip, uilp = padb(updi_hi), padb(updi - updi_hi)
+
+    def halo_state(x):
+        # hlo[j] = bins [j*BT-HALO, j*BT) (tile 0: the hermitian lo edge
+        # bins [0, HALO)); hhi[j] = bins [(j+1)*BT, +HALO) (last: zeros).
+        # Tiles stack along ROWS ([n_bt*sp, HALO]) — a HALO-wide lane block
+        # is only legal when it spans the whole array width.
+        lo = jnp.concatenate(
+            [x[:, :HALO]]
+            + [x[:, j * BT - HALO : j * BT] for j in range(1, n_bt)],
+            axis=0,
+        )
+        hi = jnp.concatenate(
+            [x[:, (j + 1) * BT : (j + 1) * BT + HALO]
+             for j in range(n_bt - 1)]
+            + [jnp.zeros((x.shape[0], HALO), x.dtype)],
+            axis=0,
+        )
+        return lo, hi
+
+    hfr, gfr = halo_state(frp)
+    hfi, gfi = halo_state(fip)
+
+    def halo_rows(m):
+        # [n_bt*hop, HALO] update-matrix halo columns, same tiling
+        lo = jnp.concatenate(
+            [m[:, :HALO]]
+            + [m[:, j * BT - HALO : j * BT] for j in range(1, n_bt)],
+            axis=0,
+        )
+        hi = jnp.concatenate(
+            [m[:, (j + 1) * BT : (j + 1) * BT + HALO]
+             for j in range(n_bt - 1)]
+            + [jnp.zeros((hop, HALO), m.dtype)],
+            axis=0,
+        )
+        return lo, hi
+
+    uhr, ugr = halo_rows(urp)
+    uhr_lo, ugr_lo = halo_rows(urlp)
+    uhi, ugi = halo_rows(uip)
+    uhi_lo, ugi_lo = halo_rows(uilp)
+
+    def halo_row1(v):
+        # [n_bt*8, HALO] from a [1, bins_pad] row (each tile's row repeated
+        # to a full 8-sublane block — a 1-sublane block is not addressable
+        # mid-array)
+        lo = jnp.concatenate(
+            [v[:, :HALO]]
+            + [v[:, j * BT - HALO : j * BT] for j in range(1, n_bt)],
+            axis=0,
+        )
+        hi = jnp.concatenate(
+            [v[:, (j + 1) * BT : (j + 1) * BT + HALO]
+             for j in range(n_bt - 1)]
+            + [jnp.ones((1, HALO), v.dtype)],
+            axis=0,
+        )
+        return jnp.repeat(lo, 8, axis=0), jnp.repeat(hi, 8, axis=0)
+
+    rhr, rgr = halo_row1(rotp)
+    rhi, rgi = halo_row1(rotip)
+
+    kern = _build_tiled(
+        T, cols, hop, bins, n, coeffs, floor_db, emit_codes, BT
+    )
+    tile = pl.BlockSpec((T, BT), lambda j, i, *_: (i, j))
+    row = pl.BlockSpec((1, BT), lambda j, i, *_: (0, j))
+    dspec = pl.BlockSpec((T, hop), lambda j, i, *_: (i, 0))
+    uspec = pl.BlockSpec((hop, BT), lambda j, i, *_: (0, j))
+    n_st = sp // T
+    hstate = pl.BlockSpec((T, HALO), lambda j, i, *_: (j * n_st + i, 0))
+    hrows = pl.BlockSpec((hop, HALO), lambda j, i, *_: (j, 0))
+    hrow1 = pl.BlockSpec((8, HALO), lambda j, i, *_: (j, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        # bin tile OUTER, stream tile inner: each [hop, BT] constant block
+        # is fetched once per hop, not once per stream tile
+        grid=(n_bt, sp // T),
+        in_specs=[
+            tile, tile,
+            *[dspec for _ in range(cols)],
+            uspec, uspec, uspec, uspec,
+            row, row, row, row,
+            hstate, hstate, hrows, hrows, hrows, hrows, hrow1, hrow1,
+            hstate, hstate, hrows, hrows, hrows, hrows, hrow1, hrow1,
+        ],
+        out_specs=[tile, tile, *[tile for _ in range(cols)]],
+    )
     outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((sp, bins), jnp.float32),
-            jax.ShapeDtypeStruct((sp, bins), jnp.float32),
-            *[jax.ShapeDtypeStruct((sp, bins), out_dtype) for _ in range(cols)],
+            jax.ShapeDtypeStruct((sp, n_bt * BT), jnp.float32),
+            jax.ShapeDtypeStruct((sp, n_bt * BT), jnp.float32),
+            *[
+                jax.ShapeDtypeStruct((sp, n_bt * BT), out_dtype)
+                for _ in range(cols)
+            ],
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)  # stream tiles are independent
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 2**20,
         ),
         interpret=_interpret(),
     )(
         jnp.asarray([ready], jnp.int32).astype(jnp.int32),
-        fr, fi, *d_cols,
-        updr_hi, updr - updr_hi, updi_hi, updi - updi_hi,
-        rotr, roti, dc_corr, norm,
+        frp, fip, *d_cols,
+        urp, urlp, uip, uilp,
+        rotp, rotip, dcp, normp,
+        hfr, hfi, uhr, uhr_lo, uhi, uhi_lo, rhr, rhi,
+        gfr, gfi, ugr, ugr_lo, ugi, ugi_lo, rgr, rgi,
     )
-    fr2, fi2 = outs[0], outs[1]
-    out = jnp.stack(outs[2:], axis=1)
+    # state returns at the caller's store width; outputs slice to real bins
+    store_w = fr.shape[1]
+    fr2, fi2 = outs[0][:s, :store_w], outs[1][:s, :store_w]
+    out = jnp.stack([o[:s, :bins] for o in outs[2:]], axis=1)
     if emit_codes:
-        # un-bias the i16 codes; XLA fuses this into the stack pass
         out = (out.astype(jnp.int32) + 32768).astype(jnp.uint16)
-    if pad:
-        fr2, fi2, out = fr2[:s], fi2[:s], out[:s]
     return fr2, fi2, out

@@ -49,21 +49,40 @@ class SlidingSTFT:
         return n >= 64 and (n & (n - 1)) == 0 and self.hop * 2 <= n
 
     @property
-    def fused_fits_vmem(self) -> bool:
-        """The fused Pallas hop holds the ``[hop, bins]`` delta-DFT constants
-        (re+im) plus per-tile state in VMEM; large-FFT configs (the stock
-        16384/1024 spectrum) exceed the ~16 MB scoped limit and must use the
-        XLA path."""
-        return 2 * 4 * self.hop * self.bins <= 6 * 2**20
+    def fused_supported(self) -> bool:
+        """Configs whose ``[hop, bins]`` delta-DFT constants fit scoped
+        VMEM ride the whole-row kernel; larger ones (the stock 16384/1024
+        spectrum) use the bin-tiled grid (ops/pallas_sliding.py)."""
+        from openmeters_tpu.ops.pallas_sliding import fused_supported
+
+        return fused_supported(self.hop, self.bins)
 
     @property
     def frames(self) -> FrameBuffer:
         return FrameBuffer(self.fft_size, self.hop, self.block)
 
+    @property
+    def store_bins(self) -> int:
+        """Carry lane width of the sliding state.  Big-FFT fused configs
+        store it padded to the kernel's bin-tile grid so steady-state hops
+        move no pad copies (the S=8192 spectrum OOM'd on per-hop pads)."""
+        from openmeters_tpu.ops.pallas_sliding import (
+            BIN_TILE, fits_vmem, pallas_enabled,
+        )
+
+        if (
+            pallas_enabled()
+            and self.supported
+            and self.fused_supported
+            and not fits_vmem(self.hop, self.bins)
+        ):
+            return -(-self.bins // BIN_TILE) * BIN_TILE
+        return self.bins
+
     def init(self, lanes: int) -> dict:
         return {
-            "re": jnp.zeros((lanes, self.bins), jnp.float32),
-            "im": jnp.zeros((lanes, self.bins), jnp.float32),
+            "re": jnp.zeros((lanes, self.store_bins), jnp.float32),
+            "im": jnp.zeros((lanes, self.store_bins), jnp.float32),
             "count": jnp.zeros((), jnp.int32),
             "anchored": jnp.zeros((), bool),
         }
@@ -141,6 +160,8 @@ class SlidingSTFT:
             axis=1,
         )  # [S, cols, h]
 
+        spad = self.store_bins - self.bins
+
         def reanchor(_):
             spec = rfft_mxu(fb.slice(info, 0, n), n)
             sr, si = jnp.real(spec), jnp.imag(spec)
@@ -149,7 +170,11 @@ class SlidingSTFT:
             d0 = deltas[:, 0]
             dr = jnp.einsum("sh,hb->sb", d0, upd_r, precision=prec)
             di = jnp.einsum("sh,hb->sb", d0, upd_i, precision=prec)
-            return tr - dr, ti - di
+            fr0, fi0 = tr - dr, ti - di
+            if spad:  # padded store: re-pad only on re-anchor hops
+                fr0 = jnp.pad(fr0, ((0, 0), (0, spad)))
+                fi0 = jnp.pad(fi0, ((0, 0), (0, spad)))
+            return fr0, fi0
 
         fr, fi = _jax.lax.cond(
             refresh, reanchor, lambda _: (sdft["re"], sdft["im"]), None
@@ -203,7 +228,10 @@ class SlidingSTFT:
             spec = rfft_mxu(fb.slice(info, 0, n), n)
             return jnp.real(spec), jnp.imag(spec)
 
-        fr, fi = sdft["re"], sdft["im"]
+        # the carry may be stored padded to the fused kernel's tile grid
+        # (store_bins); this XLA path computes at true bins and re-pads
+        spad = sdft["re"].shape[1] - self.bins
+        fr, fi = sdft["re"][:, : self.bins], sdft["im"][:, : self.bins]
         f0 = slide(fr, fi, 0)
         f0r, f0i = jax.lax.cond(refresh, exact_col0, lambda _: f0, None)
 
@@ -219,6 +247,9 @@ class SlidingSTFT:
             wr = wr - mean * dc_corr
             cols.append(wr * wr + wi * wi)
 
+        if spad:
+            cur_r = jnp.pad(cur_r, ((0, 0), (0, spad)))
+            cur_i = jnp.pad(cur_i, ((0, 0), (0, spad)))
         new_sdft = {
             "re": cur_r,
             "im": cur_i,
