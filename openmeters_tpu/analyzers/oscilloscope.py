@@ -21,8 +21,12 @@ TPU formulation: everything is sized to the *static* worst case (period <=
 rate/20 Hz) with dynamic lengths expressed as masks; the reference's
 coarse-to-fine CPU correlation search (processor.rs:441-475) becomes one
 dense FFT cross-correlation — an exact superset of the strided search.  All
-data-dependent control flow (lock/unlock, template reset, retune) is masked
-``jnp.where`` state in the carry.  Batched over ``[n_streams]``.
+data-dependent control flow (lock/unlock, template reset) is masked
+``jnp.where`` state in the carry.  The reference's template retune-resample
+(processor.rs:249-263) is replaced by a CENTER-ALIGNED template store —
+length changes become mask changes and big pitch jumps drop the template
+(see the centered-store comment in ``_locate``); a batched arbitrary-index
+gather would lower to serial row loops on TPU (52 ms @ [1024, 4800]).  Batched over ``[n_streams]``.
 """
 
 from __future__ import annotations
@@ -278,7 +282,6 @@ class OscilloscopeAnalyzer:
             "mean": jnp.zeros((lanes,), jnp.float32),
             "reference": jnp.zeros((lanes, k), jnp.float32),
             "ref_period": jnp.zeros((lanes,), jnp.float32),
-            "ref_len": jnp.zeros((lanes,), jnp.int32),
         }
         if max(int(self.config.trigger_every), 1) > 1:
             carry["snap"] = {
@@ -304,7 +307,6 @@ class OscilloscopeAnalyzer:
             "mean": P(axis),
             "reference": P(axis, None),
             "ref_period": P(axis),
-            "ref_len": P(axis),
         }
         if max(int(self.config.trigger_every), 1) > 1:
             specs["snap"] = {
@@ -324,24 +326,43 @@ class OscilloscopeAnalyzer:
         p = probe.shape[-1]
         mean = jnp.mean(probe, axis=-1, keepdims=True)
         c = probe - mean
-        last_peak = jnp.max(jnp.abs(c), axis=-1)
 
         max_lag = min(self.max_period, p // 2)
         nfft = self.nsdf_fft
+
+        e = _cumsum_mxu(c * c)
+        e = jnp.concatenate([jnp.zeros_like(e[..., :1]), e], axis=-1)  # [S, P+1]
+        total = e[..., -1]
+        # contiguous slices, NOT int-array indexing (gathers lower to serial
+        # row loops on TPU): e[p - tau] = reversed slice, e[tau] = prefix
+        left = jnp.flip(e[..., p - max_lag : p + 1], axis=-1)  # e[p - tau]
+        right = total[..., None] - e[..., : max_lag + 1]
+
+        from openmeters_tpu.ops.pallas_osc_corr import corr_supported, nsdf_search
+
+        if corr_supported(nfft):
+            # fused Pallas NSDF (ops/pallas_osc_corr.py): FFT ->
+            # autocorrelation -> normalize -> earliest-peak pick in VMEM
+            period, confidence, detected_k, last_peak = nsdf_search(
+                c, left, right, total, nfft=nfft, p=p, max_lag=max_lag,
+                min_period=self.min_period,
+            )
+            detected = detected_k & (last_peak >= MIN_SIGNAL_PEAK)
+            return {
+                "period": period,
+                "confidence": confidence,
+                "detected": detected,
+                "last_peak": last_peak,
+            }
+
+        last_peak = jnp.max(jnp.abs(c), axis=-1)
         from openmeters_tpu.ops.fft import irfft_mxu, rfft_mxu
 
         spec = rfft_mxu(c, nfft)
         power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
         ac = irfft_mxu(power, jnp.zeros_like(power), nfft)[..., : max_lag + 1]
 
-        e = _cumsum_mxu(c * c)
-        e = jnp.concatenate([jnp.zeros_like(e[..., :1]), e], axis=-1)  # [S, P+1]
-        total = e[..., -1]
         taus = np.arange(max_lag + 1)
-        # contiguous slices, NOT int-array indexing (gathers lower to serial
-        # row loops on TPU): e[p - tau] = reversed slice, e[tau] = prefix
-        left = jnp.flip(e[..., p - max_lag : p + 1], axis=-1)  # e[p - tau]
-        right = total[..., None] - e[..., : max_lag + 1]
         denom = left + right
         nsdf = jnp.where(denom > 1e-7, 2.0 * ac / jnp.maximum(denom, 1e-30), 0.0)
 
@@ -427,7 +448,6 @@ class OscilloscopeAnalyzer:
         mean_state = jnp.where(silent, 0.0, state["mean"])
         reference = jnp.where(silent[:, None], 0.0, state["reference"])
         ref_period = jnp.where(silent, 0.0, state["ref_period"])
-        ref_len = jnp.where(silent, 0, state["ref_len"])
         prev_period = jnp.where(silent, 0.0, state["period"])
 
         # stabilize (processor.rs:336-356)
@@ -448,7 +468,6 @@ class OscilloscopeAnalyzer:
         # full unlock clears the template too (processor.rs:298-304)
         reference = jnp.where(unlock[:, None], 0.0, reference)
         ref_period = jnp.where(unlock, 0.0, ref_period)
-        ref_len = jnp.where(unlock, 0, ref_len)
         mean_state = jnp.where(unlock, 0.0, mean_state)
 
         locked = has_period
@@ -478,100 +497,157 @@ class OscilloscopeAnalyzer:
         work = window_rows(trace, w_start + shift, wcap)
         # valid region of work: last (search + klen) entries
         wlen = search + klen
-        widx = np.arange(wcap)
-        wvalid = widx[None, :] >= (wcap - wlen)[:, None]
 
-        wmean = jnp.sum(jnp.where(wvalid, work, 0.0), axis=-1) / jnp.maximum(
-            wlen.astype(jnp.float32), 1.0
-        )
-        mean_state = jnp.where(
-            can_locate,
-            mean_state + MEAN_RESPONSIVENESS * (wmean - mean_state),
-            mean_state,
-        )
-        work = jnp.where(wvalid, work - mean_state[:, None], 0.0)
+        from openmeters_tpu.ops.pallas_osc_corr import corr_supported
 
-        # retune reference (processor.rs:486-498).  The resample gather is
-        # expensive and >1-semitone jumps are rare, so it runs under lax.cond
-        # — free in steady state, exact when triggered.
-        ref_empty = ref_len == 0
+        fused_corr = corr_supported(self.corr_fft)
+        if not fused_corr:
+            # the fused kernel consumes the RAW window (normalized
+            # correlation is exactly shift-invariant, so the running-mean
+            # subtraction cannot change scores) and returns the region mean
+            # itself; the XLA fallback keeps the masked, mean-subtracted
+            # formulation
+            widx = np.arange(wcap)
+            wvalid = widx[None, :] >= (wcap - wlen)[:, None]
+            wmean = jnp.sum(
+                jnp.where(wvalid, work, 0.0), axis=-1
+            ) / jnp.maximum(wlen.astype(jnp.float32), 1.0)
+            mean_state = jnp.where(
+                can_locate,
+                mean_state + MEAN_RESPONSIVENESS * (wmean - mean_state),
+                mean_state,
+            )
+            work = jnp.where(wvalid, work - mean_state[:, None], 0.0)
+
+        # Centered template store — the TPU-first replacement for the
+        # reference's retune resample (processor.rs:249-263,486-498).  The
+        # reference lerp-resamples its template whenever its length changes
+        # or pitch moves >1 semitone; a batched per-row arbitrary gather
+        # lowers to serial row loops on TPU (measured 52 ms @ [1024,4800]).
+        # Instead the template lives CENTER-ALIGNED in the [S, kcap]
+        # buffer: a klen change is then a pure mask change (the centers the
+        # reference's resample preserves already coincide), the per-stream
+        # store offset folds into the correlation's phase-shift base, and a
+        # >1-semitone jump drops the template outright — the match<0.3
+        # reset machinery (processor.rs:509-527) rebuilds it from the next
+        # candidate at BUFFER_RESPONSIVENESS=0.5 within ~2 hops, which is
+        # also where the reference's resampled template converges.
+        ref_empty = ~jnp.any(jnp.abs(reference) > 1.0e-3, axis=-1)
         semis = jnp.abs(jnp.log2(jnp.maximum(p, 1e-6) / jnp.maximum(ref_period, 1e-6))) * 12.0
-        need_retune = ~ref_empty & ((ref_len != klen) | (semis >= BUFFER_RETUNE_SEMITONES))
-        apply_retune = can_locate & need_retune
-        reference = jax.lax.cond(
-            jnp.any(apply_retune),
-            lambda ref: jnp.where(
-                apply_retune[:, None],
-                _retune(ref, ref_len, ref_period, p, klen, kcap),
-                ref,
-            ),
-            lambda ref: ref,
-            reference,
+        jump = can_locate & ~ref_empty & (semis >= BUFFER_RETUNE_SEMITONES)
+        reference = jnp.where(jump[:, None], 0.0, reference)
+        ref_period = jnp.where(
+            can_locate & (ref_empty | jump), p, ref_period
         )
-        ref_period = jnp.where(can_locate, jnp.where(ref_empty, p, jnp.where(need_retune, p, ref_period)), ref_period)
-        ref_len = jnp.where(can_locate, klen, ref_len)
 
         use_reference = jnp.any(jnp.abs(reference) > 1.0e-3, axis=-1)
 
         kidx = np.arange(kcap)
-        kmask = kidx[None, :] < klen[:, None]
-
-        def template_of(use_ref):
-            edges = _edge_template(klen, p, kcap)
-            t = jnp.where(use_ref[:, None], edges + reference, edges)
-            return jnp.where(kmask, t, 0.0)
-
-        # work spectrum feeds the template correlation; sliding window sums
-        # come from exact cumsums read back as Pallas row windows; the dots
-        # land on a static slice via the phase-shift theorem
-        from openmeters_tpu.ops.fft import rfft_mxu
-
+        off = (kcap - klen) // 2  # [S] centered-store offset
+        kmask = (kidx[None, :] >= off[:, None]) & (
+            kidx[None, :] < (off + klen)[:, None]
+        )
         base = wcap - search - klen  # [S] first searched work index
-        wf = rfft_mxu(work, self.corr_fft)
-        wf_re, wf_im = jnp.real(wf), jnp.imag(wf)
-        ph_re, ph_im = _shift_phase(base, self.corr_fft)
+        # template-grid correlation base: tmpl index u sits at store index
+        # off+u, so the spectral dot anchors at base - off (>= 0 because
+        # wcap = kcap + scap and search <= klen/2)
+        base_t = base - off
 
-        def padded_cumsum(v):
-            c = _cumsum_mxu(v)
-            zero = jnp.zeros_like(c[..., :1])
-            return jnp.concatenate(
-                [zero, c, jnp.broadcast_to(c[..., -1:], (*c.shape[:-1], scap))],
-                axis=-1,
+        if fused_corr:
+            # fused Pallas search (ops/pallas_osc_corr.py): FFTs, sliding
+            # sums, score normalization and BOTH templates' peak picks in
+            # one VMEM-resident kernel — the edge-template scores come
+            # nearly free, so the template-reset re-search below needs no
+            # second correlation pass
+            from openmeters_tpu.ops.pallas_osc_corr import corr_search
+
+            # the kernel anchors its sliding sums and region mean at one
+            # base, so feed it templates on the UNCENTERED grid: edges
+            # rebuilt at off=0, the stored reference shifted left by `off`
+            # (contiguous window_rows read)
+            edges = _edge_template(klen, p, kcap)
+            ref_u = window_rows(
+                jnp.pad(reference, ((0, 0), (0, kcap))), off, kcap
             )
-
-        ends = jnp.stack([base + klen, base], axis=1)  # [S, 2]
-        r1 = window_rows(padded_cumsum(work), ends, scap + 1)
-        r2 = window_rows(padded_cumsum(work * work), ends, scap + 1)
-        sx = r1[:, 0] - r1[:, 1]
-        sxx = r2[:, 0] - r2[:, 1]
-
-        def pick(scores):
-            oidx = np.arange(scap + 1)
-            ovalid = oidx[None, :] <= search[:, None]
-            best = jnp.argmax(jnp.where(ovalid, scores, -jnp.inf), axis=-1)
-            b0, b1, b2 = _onehot_neighbors(scores, best)
-            interior = (best > 0) & (best < search)
-            frac = jnp.where(
-                interior,
-                jnp.clip(_parabolic_refine(b0, b1, b2, best) - best, -0.5, 0.5),
-                0.0,
+            kmask_u = kidx[None, :] < klen[:, None]
+            tmpl = edges + jnp.where(
+                use_reference[:, None] & kmask_u, ref_u, 0.0
             )
-            return best.astype(jnp.int32), frac
-
-        def search_best(template):
-            scores = _corr_scores(
-                wf_re, wf_im, sx, sxx, template, klen, ph_re, ph_im,
-                self.corr_fft, scap,
+            best, frac, cmean_b, best_e, frac_e, cmean_e, wmean = corr_search(
+                work, tmpl, edges, klen, base, search,
+                nfft=self.corr_fft, scap=scap,
             )
-            return pick(scores)
+            mean_state = jnp.where(
+                can_locate,
+                mean_state + MEAN_RESPONSIVENESS * (wmean - mean_state),
+                mean_state,
+            )
+        else:
+            # XLA fallback: work spectrum + template spectrum correlation,
+            # sliding window sums from MXU-matmul cumsums read back as
+            # Pallas row windows; dots land on a static slice via the
+            # phase-shift theorem
+            from openmeters_tpu.ops.fft import rfft_mxu
 
-        # NOTE (round-3 measurement): batching the edge template's scores
-        # into this pass unconditionally (to remove the redo cond below)
-        # measured WORSE at S=1024 — the always-on doubled correlation
-        # (~+2 ms) outweighs the conditional second pass (~0.8 ms/step
-        # amortized).  Keep the cond.
-        template = template_of(use_reference)
-        best, frac = search_best(template)
+            def template_of(use_ref):
+                edges = _edge_template(klen, p, kcap, off)
+                t = jnp.where(use_ref[:, None], edges + reference, edges)
+                return jnp.where(kmask, t, 0.0)
+
+            wf = rfft_mxu(work, self.corr_fft)
+            wf_re, wf_im = jnp.real(wf), jnp.imag(wf)
+            # dots anchor on the template grid (centered store): base_t
+            ph_re, ph_im = _shift_phase(base_t, self.corr_fft)
+
+            def padded_cumsum(v):
+                c = _cumsum_mxu(v)
+                zero = jnp.zeros_like(c[..., :1])
+                return jnp.concatenate(
+                    [zero, c,
+                     jnp.broadcast_to(c[..., -1:], (*c.shape[:-1], scap))],
+                    axis=-1,
+                )
+
+            ends = jnp.stack([base + klen, base], axis=1)  # [S, 2]
+            r1 = window_rows(padded_cumsum(work), ends, scap + 1)
+            r2 = window_rows(padded_cumsum(work * work), ends, scap + 1)
+            sx = r1[:, 0] - r1[:, 1]
+            sxx = r2[:, 0] - r2[:, 1]
+
+            def cmean_at(offset):
+                oh = (
+                    jnp.arange(scap + 1, dtype=jnp.int32)[None, :]
+                    == offset[:, None]
+                ).astype(jnp.float32)
+                return jnp.sum(sx * oh, axis=-1) / jnp.maximum(
+                    klen.astype(jnp.float32), 1.0
+                )
+
+            def pick(scores):
+                oidx = np.arange(scap + 1)
+                ovalid = oidx[None, :] <= search[:, None]
+                best = jnp.argmax(jnp.where(ovalid, scores, -jnp.inf), axis=-1)
+                b0, b1, b2 = _onehot_neighbors(scores, best)
+                interior = (best > 0) & (best < search)
+                frac = jnp.where(
+                    interior,
+                    jnp.clip(
+                        _parabolic_refine(b0, b1, b2, best) - best, -0.5, 0.5
+                    ),
+                    0.0,
+                )
+                return best.astype(jnp.int32), frac
+
+            def search_best(template):
+                scores = _corr_scores(
+                    wf_re, wf_im, sx, sxx, template, klen, ph_re, ph_im,
+                    self.corr_fft, scap,
+                )
+                return pick(scores)
+
+            template = template_of(use_reference)
+            best, frac = search_best(template)
+            cmean_b = cmean_at(best)
 
         # candidate write + reference reset check (processor.rs:381-399,509-527)
         # (work padded by kcap so the capacity read [cstart, cstart+kcap)
@@ -579,37 +655,43 @@ class OscilloscopeAnalyzer:
         # cstart + klen <= wcap always holds)
         work_padded = jnp.pad(work, ((0, 0), (0, kcap)))
 
-        def candidate_at(offset):
-            seg = window_rows(work_padded, base + offset, kcap)
+        def candidate_at(offset, cmean):
+            # centered extraction: store index off+u holds work[base+o+u]
+            seg = window_rows(work_padded, base_t + offset, kcap)
             seg = jnp.where(kmask, seg, 0.0)
-            # mean over the first klen samples == the sliding sum at `offset`
-            oh = (
-                jnp.arange(scap + 1, dtype=jnp.int32)[None, :] == offset[:, None]
-            ).astype(jnp.float32)
-            cmean = jnp.sum(sx * oh, axis=-1) / jnp.maximum(
-                klen.astype(jnp.float32), 1.0
-            )
+            # cmean = window mean over the klen samples at `offset`
             cand = jnp.where(kmask, seg - cmean[:, None], 0.0)
             peakv = jnp.max(jnp.abs(cand), axis=-1)
             cand = cand / jnp.maximum(peakv, NORMALIZE_FLOOR)[:, None]
             std = jnp.maximum(p * BUFFER_FALLOFF_PERIODS, 1.0)
-            g = _gaussian_sym(klen, std, kcap)
+            g = _gaussian_sym(klen, std, kcap, off)
             return cand * g
 
         confident = confidence >= MIN_PERIODICITY
-        cand = candidate_at(best)
+        cand = candidate_at(best, cmean_b)
         match = _norm_corr_single(reference, cand, kmask)
         do_reset = can_locate & confident & use_reference & (match < RESET_BELOW_MATCH)
 
-        # re-search without reference where reset fired — a rare event, so the
-        # second correlation pass runs under lax.cond (free in steady state)
+        # re-search without reference where reset fired.  With the fused
+        # kernel the edge-template pick already exists — only the candidate
+        # re-extraction runs under the cond; the XLA fallback re-runs the
+        # correlation there (rare-event cost, NOTE: batching it into the
+        # main pass measured WORSE at S=1024 — +2 ms always-on vs ~0.8 ms
+        # amortized)
         def redo(args):
             best0, frac0, cand0 = args
-            template2 = template_of(jnp.zeros_like(use_reference))
-            best2, frac2 = search_best(template2)
+            if fused_corr:
+                best2, frac2, cmean2 = best_e, frac_e, cmean_e
+            else:
+                template2 = template_of(jnp.zeros_like(use_reference))
+                best2, frac2 = search_best(template2)
+                cmean2 = cmean_at(best2)
             best1 = jnp.where(do_reset, best2, best0)
             frac1 = jnp.where(do_reset, frac2, frac0)
-            cand1 = jnp.where(do_reset[:, None], candidate_at(best1), cand0)
+            cmean1 = jnp.where(do_reset, cmean2, cmean_b)
+            cand1 = jnp.where(
+                do_reset[:, None], candidate_at(best1, cmean1), cand0
+            )
             return best1, frac1, cand1
 
         best, frac, cand = jax.lax.cond(
@@ -646,7 +728,6 @@ class OscilloscopeAnalyzer:
             "mean": mean_state,
             "reference": reference,
             "ref_period": ref_period,
-            "ref_len": ref_len,
         }
         return new_state, cap
 
@@ -702,7 +783,7 @@ class OscilloscopeAnalyzer:
 
         fresh = carry["fresh"]
         state = {k: carry[k] for k in
-                 ("period", "has_period", "missed", "mean", "reference", "ref_period", "ref_len")}
+                 ("period", "has_period", "missed", "mean", "reference", "ref_period")}
         hist = carry["hist"]
         if reset_mask is not None:
             rm = reset_mask
@@ -912,24 +993,30 @@ def _parabolic_refine(y0, y1, y2, tau):
     return jnp.maximum(tau.astype(jnp.float32) + jnp.clip(delta, -1.0, 1.0), 1.0)
 
 
-def _gaussian_sym(length, std, cap: int):
-    """gaussian(len, i, std) over a capacity buffer (processor.rs:199-204)."""
+def _gaussian_sym(length, std, cap: int, off=None):
+    """gaussian(len, i, std) over a capacity buffer (processor.rs:199-204).
+
+    ``off`` ([S] int32) places the length-``length`` window at capacity
+    index ``off`` (the centered template store); ``None`` means 0."""
     i = np.arange(cap, dtype=np.float32)
+    rel = i[None, :] if off is None else i[None, :] - off.astype(jnp.float32)[:, None]
     center = (length.astype(jnp.float32) - 1.0) * 0.5
-    x = (i[None, :] - center[:, None]) / jnp.maximum(std, 1e-6)[:, None]
+    x = (rel - center[:, None]) / jnp.maximum(std, 1e-6)[:, None]
     g = jnp.exp(-0.5 * x * x)
-    ok = (length > 1)[:, None] & (i[None, :] < length[:, None])
+    ok = (length > 1)[:, None] & (rel >= 0.0) & (rel < length[:, None])
     return jnp.where(ok, g, 0.0)
 
 
-def _edge_template(length, period, cap: int):
+def _edge_template(length, period, cap: int, off=None):
     """Gaussian-edged slope template (processor.rs:422-439): -w on the left
-    half, +w on the right, center positive."""
+    half, +w on the right, center positive.  ``off`` as in
+    :func:`_gaussian_sym`."""
     max_width = jnp.maximum(jnp.maximum(length // 2, 1).astype(jnp.float32) / 3.0, 1.0)
     width = jnp.clip(period * SLOPE_WIDTH_PERIODS, 1.0, max_width)
-    g = _gaussian_sym(length, width, cap)
+    g = _gaussian_sym(length, width, cap, off)
     i = np.arange(cap, dtype=np.int32)
-    sign = jnp.where(2 * i[None, :] >= (length - 1)[:, None], 1.0, -1.0)
+    rel = i[None, :] if off is None else i[None, :] - off[:, None]
+    sign = jnp.where(2 * rel >= (length - 1)[:, None], 1.0, -1.0)
     return EDGE_STRENGTH * g * sign
 
 
@@ -1008,33 +1095,5 @@ def _corr_scores(
 
 
 
-def _retune(reference, ref_len, old_period, new_period, new_len, cap: int):
-    """Resample the reference template around its center
-    (processor.rs:249-263)."""
-    ratio = new_period / jnp.maximum(old_period, 1e-6)
-    ok = jnp.isfinite(ratio) & (ratio > 1e-7)
-    old_center = jnp.maximum(ref_len - 1, 0).astype(jnp.float32) * 0.5
-    new_center = jnp.maximum(new_len - 1, 0).astype(jnp.float32) * 0.5
-    i = np.arange(cap, dtype=np.float32)
-    pos = old_center[:, None] + (i[None, :] - new_center[:, None]) / jnp.maximum(
-        ratio, 1e-7
-    )[:, None]
-    out = _sample_linear_zero(reference, pos, ref_len)
-    valid = (i[None, :] < new_len[:, None]) & ok[:, None]
-    return jnp.where(valid, out, 0.0)
-
-
-def _sample_linear_zero(data, pos, data_len):
-    """sample_linear_zero (processor.rs:238-247) with per-row lengths."""
-    last = jnp.maximum(data_len - 1, 0).astype(jnp.float32)[:, None]
-    ok = (pos >= 0.0) & (pos <= last)
-    p = jnp.clip(pos, 0.0, last)
-    i0 = jnp.floor(p).astype(jnp.int32)
-    frac = p - i0.astype(jnp.float32)
-    i1 = jnp.minimum(i0 + 1, jnp.maximum(data_len - 1, 0)[:, None])
-    take = jax.vmap(lambda a, i: a[i])
-    v0 = take(data, i0)
-    v1 = take(data, i1)
-    return jnp.where(ok, v0 + (v1 - v0) * frac, 0.0)
 
 
