@@ -98,6 +98,7 @@ def test_multi_rate_serving_lufs_both_buckets(tmp_path):
     # momentary window ends on >=0.4 s of contiguous tone — no wall-clock
     # pacing anywhere.
     stop = threading.Event()
+    done = {name: threading.Event() for name in ("p44", "p48")}
     burst_s = 0.9
 
     def produce(rate: float, freq: float, name: str):
@@ -113,6 +114,7 @@ def test_multi_rate_serving_lufs_both_buckets(tmp_path):
             x = (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
             c.send_pcm(np.stack([x, x], -1), int(n / rate * 1e9))
             n += block
+        done[name].set()
         stop.wait(timeout=60)  # hold the link open until the drain is done
         c.close()
 
@@ -123,15 +125,26 @@ def test_multi_rate_serving_lufs_both_buckets(tmp_path):
     for t in threads:
         t.start()
     try:
-        # wait until both bursts are fully buffered
+        # Both bursts must be FULLY buffered before the paced loop runs:
+        # serving while a producer thread is starved (loaded CI host) would
+        # underrun -> synthesized silence / fault resets mid-timeline, and
+        # the momentary window would no longer end on contiguous tone.
+        for name, ev in done.items():
+            assert ev.wait(timeout=60.0), f"producer {name} did not finish its burst"
+        # the pump threads may still be draining the socket: wait for the
+        # buffered audio to land in each bucket's transport
         deadline = time.monotonic() + 20.0
+        want = {rate: int(0.8 * burst_s * rate) for rate in server.servers}
         while time.monotonic() < deadline:
             if all(
-                srv.transport.buffered_frames(0) >= int(0.8 * burst_s * rate)
+                srv.transport.buffered_frames(0) >= want[rate]
                 for rate, srv in server.servers.items()
             ):
                 break
             time.sleep(0.02)
+        for rate, srv in server.servers.items():
+            buffered = srv.transport.buffered_frames(0)
+            assert buffered >= want[rate], (rate, buffered)
         # exercise the paced serving loop briefly, then drain what remains
         server.run(0.3)
         for srv in server.servers.values():
