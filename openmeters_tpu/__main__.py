@@ -4,6 +4,7 @@ The reference has no CLI (config lives in the GUI + JSON settings); the
 headless rebuild exposes one:
 
     python -m openmeters_tpu analyze tone.wav [--settings settings.json]
+    python -m openmeters_tpu render tone.wav out_dir/ [--settings ...]
     python -m openmeters_tpu settings --init settings.json
     python -m openmeters_tpu selftest
 """
@@ -127,6 +128,31 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_render(args) -> int:
+    """Analyze a WAV and rasterize the final snapshot of every active
+    visual to PNG files (the headless render pipeline, render.py)."""
+    from openmeters_tpu.api import analyze_wav
+    from openmeters_tpu.engine import EngineConfig
+    from openmeters_tpu.persistence import SettingsHandle
+    from openmeters_tpu.render import render_series
+
+    cfg = (
+        SettingsHandle.load_or_default(args.settings)
+        if args.settings
+        else EngineConfig()
+    )
+    snaps = analyze_wav(args.wav, cfg)
+    if not snaps:
+        print("no complete hops in input", file=sys.stderr)
+        return 1
+    written = render_series(
+        snaps, cfg, args.out, width=args.width, height=args.height
+    )
+    for path in written:
+        print(path)
+    return 0
+
+
 def cmd_settings(args) -> int:
     from openmeters_tpu.engine import EngineConfig
     from openmeters_tpu.persistence import encode_settings, write_json_atomic
@@ -174,6 +200,14 @@ def main(argv=None) -> int:
     pa.add_argument("--settings", help="settings JSON (lossy schema)")
     pa.add_argument("--compact", action="store_true")
     pa.set_defaults(fn=cmd_analyze)
+
+    pr = sub.add_parser("render", help="render a WAV's final meters to PNGs")
+    pr.add_argument("wav")
+    pr.add_argument("out", help="output directory for PNG frames")
+    pr.add_argument("--settings", help="settings JSON (lossy schema)")
+    pr.add_argument("--width", type=int, default=960)
+    pr.add_argument("--height", type=int, default=540)
+    pr.set_defaults(fn=cmd_render)
 
     pv = sub.add_parser("serve", help="run the serving loop (synthetic feed)")
     pv.add_argument("--streams", type=int, default=256)
