@@ -54,6 +54,10 @@ MIN_SIGNAL_PEAK = 0.001
 MIN_PERIODICITY = 0.5
 PEAK_CUTOFF = 0.93
 
+# Sliding probe-spectrum exact re-anchor cadence (hops).  f32 slide drift
+# over 8 hops is ~1e-6 relative — far below the NSDF decision thresholds.
+PROBE_REFRESH = 8
+
 # StableTrigger constants (processor.rs:285-297)
 WINDOW_SECONDS = 0.04
 MIN_CYCLES = 2.0
@@ -194,6 +198,25 @@ class OscilloscopeAnalyzer:
         return _next_pow2(self.probe_frames + self.max_period)
 
     @property
+    def slides_probe(self) -> bool:
+        """Per-hop triggering keeps the NSDF probe spectrum as sliding
+        carry state (one ``[2B, bins]`` delta matmul + rotation per hop,
+        exact re-anchor every ``PROBE_REFRESH`` hops and on any reset)
+        instead of a fresh ``rfft(probe)`` per hop.  Only pays when the
+        trigger actually runs every hop; the mean subtraction moves to the
+        frequency domain (``C = X - mean·D`` with D the window support's
+        Dirichlet vector — exact, not an approximation)."""
+        from openmeters_tpu.ops.pallas_osc_corr import corr_supported
+
+        cfg = self.config
+        return (
+            max(int(cfg.trigger_every), 1) == 1
+            and cfg.trigger_mode is TriggerMode.STABLE
+            and self.history_frames >= self.probe_frames + cfg.block_frames
+            and not corr_supported(self.nsdf_fft)
+        )
+
+    @property
     def corr_fft(self) -> int:
         # Circular FFT cross-correlation is exact (no wraparound) at offset j
         # when j + k < nfft for every template tap k < klen: valid offsets
@@ -283,6 +306,11 @@ class OscilloscopeAnalyzer:
             "reference": jnp.zeros((lanes, k), jnp.float32),
             "ref_period": jnp.zeros((lanes,), jnp.float32),
         }
+        if self.slides_probe:
+            bins = self.nsdf_fft // 2 + 1
+            carry["pspec_re"] = jnp.zeros((lanes, bins), jnp.float32)
+            carry["pspec_im"] = jnp.zeros((lanes, bins), jnp.float32)
+            carry["panchored"] = jnp.zeros((), bool)
         if max(int(self.config.trigger_every), 1) > 1:
             carry["snap"] = {
                 "samples": jnp.zeros((s, TRACE_COUNT, self.window_cap), jnp.float32),
@@ -308,6 +336,10 @@ class OscilloscopeAnalyzer:
             "reference": P(axis, None),
             "ref_period": P(axis),
         }
+        if self.slides_probe:
+            specs["pspec_re"] = P(axis, None)
+            specs["pspec_im"] = P(axis, None)
+            specs["panchored"] = P()
         if max(int(self.config.trigger_every), 1) > 1:
             specs["snap"] = {
                 "samples": P(axis, None, None),
@@ -320,9 +352,12 @@ class OscilloscopeAnalyzer:
 
     # -- NSDF period estimation (processor.rs:93-181) -------------------------
 
-    def _estimate_period(self, probe):
+    def _estimate_period(self, probe, pspec=None):
         """``probe``: [S, P] most-recent samples.  Returns dict of [S] arrays:
-        period, confidence, detected, last_peak."""
+        period, confidence, detected, last_peak.  ``pspec``: optional sliding
+        spectrum of the raw probe window (see :attr:`slides_probe`) —
+        replaces the per-hop ``rfft``; the DC removal happens in frequency
+        domain (``C = X - mean·D``, exact for the zero-padded window)."""
         p = probe.shape[-1]
         mean = jnp.mean(probe, axis=-1, keepdims=True)
         c = probe - mean
@@ -358,8 +393,16 @@ class OscilloscopeAnalyzer:
         last_peak = jnp.max(jnp.abs(c), axis=-1)
         from openmeters_tpu.ops.fft import irfft_mxu, rfft_mxu
 
-        spec = rfft_mxu(c, nfft)
-        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        if pspec is not None:
+            _, _, _, _, d_re, d_im = _probe_slide_consts(
+                p, self.config.block_frames, nfft
+            )
+            c_re = pspec[0] - mean * d_re
+            c_im = pspec[1] - mean * d_im
+            power = c_re * c_re + c_im * c_im
+        else:
+            spec = rfft_mxu(c, nfft)
+            power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
         ac = irfft_mxu(power, jnp.zeros_like(power), nfft)[..., : max_lag + 1]
 
         taus = np.arange(max_lag + 1)
@@ -418,7 +461,7 @@ class OscilloscopeAnalyzer:
 
     # -- stable trigger (processor.rs:273-528) --------------------------------
 
-    def _stable_capture(self, state, trace, fresh_ok, shift=None):
+    def _stable_capture(self, state, trace, fresh_ok, shift=None, pspec=None):
         """Batched StableTrigger::capture.  ``trace``: [S, HIST] right-aligned,
         or [S, 2*ring] rotated with scalar ``shift`` mapping logical index 0
         to physical ``shift`` (double-write ring: any logical window is
@@ -439,7 +482,7 @@ class OscilloscopeAnalyzer:
             trace, (jnp.int32(0), shift + hist - self.probe_frames),
             (s, self.probe_frames),
         )
-        est = self._estimate_period(probe)
+        est = self._estimate_period(probe, pspec=pspec)
 
         # silence unlocks (processor.rs:322-325)
         silent = est["last_peak"] < MIN_SIGNAL_PEAK
@@ -836,6 +879,60 @@ class OscilloscopeAnalyzer:
             ).reshape(s * n_trig, 2 * cap)
         fresh_lane = jnp.repeat(fresh_ok, n_trig)
 
+        pspec = None
+        new_pspec = {}
+        if self.slides_probe:
+            # sliding NSDF probe spectrum: one [2B, bins] delta matmul +
+            # phasor rotation per hop replaces rfft(probe); exact re-anchor
+            # every PROBE_REFRESH hops, on the first hop, and on any reset
+            from openmeters_tpu.ops.fft import rfft_mxu
+
+            nfft = self.nsdf_fft
+            p = self.probe_frames
+            mat_re, mat_im, rot_r, rot_i, _, _ = _probe_slide_consts(
+                p, b, nfft
+            )
+            lanes_n = s * n_trig
+            refresh = (carry["tick"] % PROBE_REFRESH == 0) | ~carry["panchored"]
+            if reset_mask is not None:
+                refresh = refresh | jnp.any(reset_mask)
+
+            def exact(_):
+                probe = jax.lax.dynamic_slice(
+                    trig_flat, (z, shift + hist_len - p), (lanes_n, p)
+                )
+                spec = rfft_mxu(probe, nfft)
+                return jnp.real(spec), jnp.imag(spec)
+
+            def slide(_):
+                leave = jax.lax.dynamic_slice(
+                    trig_flat, (z, shift + hist_len - p - b), (lanes_n, b)
+                )
+                nb = jax.lax.dynamic_slice(
+                    trig_flat, (z, shift + hist_len - b), (lanes_n, b)
+                )
+                delta = jnp.concatenate([leave, nb], axis=-1)
+                prec = jax.lax.Precision.HIGHEST
+                dr = jnp.einsum(
+                    "sb,bk->sk", delta, jnp.asarray(mat_re), precision=prec
+                )
+                di = jnp.einsum(
+                    "sb,bk->sk", delta, jnp.asarray(mat_im), precision=prec
+                )
+                xr, xi = carry["pspec_re"], carry["pspec_im"]
+                return (
+                    xr * rot_r - xi * rot_i + dr,
+                    xr * rot_i + xi * rot_r + di,
+                )
+
+            pre, pim = jax.lax.cond(refresh, exact, slide, None)
+            pspec = (pre, pim)
+            new_pspec = {
+                "pspec_re": pre,
+                "pspec_im": pim,
+                "panchored": jnp.ones((), bool),
+            }
+
         def run_trigger(state):
             if cfg.trigger_mode is TriggerMode.ZERO_CROSSING:
                 # positional-mask scan needs the right-aligned view
@@ -846,7 +943,7 @@ class OscilloscopeAnalyzer:
                 new_state = state
             else:
                 new_state, capture = self._stable_capture(
-                    state, trig_flat, fresh_lane, shift
+                    state, trig_flat, fresh_lane, shift, pspec=pspec
                 )
             cap2 = {k: v.reshape(s, n_trig) for k, v in capture.items()}
 
@@ -936,6 +1033,7 @@ class OscilloscopeAnalyzer:
             "origin": origin_next,
             "fresh": fresh,
             "tick": tick + 1,
+            **new_pspec,
             **new_state,
         }
         if every > 1:
@@ -952,6 +1050,34 @@ class OscilloscopeAnalyzer:
 
 
 # -- helpers -------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _probe_slide_consts(p: int, b: int, nfft: int):
+    """Constants for the sliding NSDF probe spectrum.
+
+    ``X' = rot·X + delta @ M`` advances the zero-padded window transform
+    (window length ``p`` inside an ``nfft`` transform) by ``b`` samples:
+    ``delta = [leaving block, entering block]`` and ``M``'s rows carry
+    ``-e^{-2πik(m-b)/nfft}`` / ``e^{-2πik(p-b+j)/nfft}``.  ``D`` is the
+    window support's Dirichlet vector (the DFT of 1 over [0, p)), so the
+    mean-subtracted spectrum is exactly ``C = X - mean·D``."""
+    bins = nfft // 2 + 1
+    k = np.arange(bins, dtype=np.float64)
+    rot = np.exp(2j * np.pi * k * b / nfft)
+    m = np.arange(b, dtype=np.float64)
+    leave = -np.exp(-2j * np.pi * np.outer(m - b, k) / nfft)
+    enter = np.exp(-2j * np.pi * np.outer(p - b + m, k) / nfft)
+    mat = np.concatenate([leave, enter], axis=0)
+    theta = 2.0 * np.pi * k / nfft
+    num = 1.0 - np.exp(-1j * theta * p)
+    den = 1.0 - np.exp(-1j * theta)
+    dirich = np.where(np.abs(den) > 1e-12, num / np.where(den == 0, 1, den), p)
+    return (
+        mat.real.astype(np.float32), mat.imag.astype(np.float32),
+        rot.real.astype(np.float32), rot.imag.astype(np.float32),
+        dirich.real.astype(np.float32), dirich.imag.astype(np.float32),
+    )
 
 
 def _cumsum_mxu(v):

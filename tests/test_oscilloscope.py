@@ -62,6 +62,53 @@ def detected_rate(snap):
     return RATE / p if p > 0 else None
 
 
+def test_sliding_probe_spectrum_matches_exact(monkeypatch):
+    """Per-hop triggering slides the NSDF probe spectrum; captures must
+    match the exact per-hop rfft path through locks, a frequency switch,
+    and a mid-run reset (drift is re-anchored every PROBE_REFRESH hops)."""
+    cfg = stable_config(trigger_every=1)
+    ana = OscilloscopeAnalyzer(cfg)
+    assert ana.slides_probe
+
+    sig = np.concatenate(
+        [sine(220.0, BLOCK * 14), sine(311.0, BLOCK * 14)]
+    ) * 0.5
+    blocks = sig.reshape(-1, BLOCK)
+    resets = np.zeros((len(blocks), 1), bool)
+    resets[17, 0] = True
+
+    def run(analyzer, exact: bool):
+        if exact:
+            monkeypatch.setattr(
+                OscilloscopeAnalyzer, "slides_probe", property(lambda s: False)
+            )
+        else:
+            monkeypatch.undo()
+        carry = analyzer.init(1)
+        out = []
+        step = analyzer.step.__wrapped__  # unjitted: avoid cache aliasing
+        for i, blk in enumerate(blocks):
+            stereo = np.stack([blk, blk], axis=-1)[None]
+            carry, snap = step(analyzer, carry, stereo, resets[i])
+            out.append(snap)
+        return out
+
+    slid = run(ana, exact=False)
+    base = run(ana, exact=True)
+    for i, (a, b) in enumerate(zip(slid, base)):
+        assert bool(a.locked[0, 0]) == bool(b.locked[0, 0]), i
+        np.testing.assert_allclose(
+            np.asarray(a.period), np.asarray(b.period), atol=0.05, err_msg=str(i)
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.span), np.asarray(b.span), atol=0.1, err_msg=str(i)
+        )
+        assert abs(int(a.start[0, 0]) - int(b.start[0, 0])) <= 1, i
+        np.testing.assert_allclose(
+            np.asarray(a.samples), np.asarray(b.samples), atol=1e-5, err_msg=str(i)
+        )
+
+
 def test_period_estimation_across_waveforms():
     # reference processor.rs:957-995
     ana = OscilloscopeAnalyzer(stable_config())
