@@ -403,7 +403,7 @@ class OscilloscopeAnalyzer:
         else:
             spec = rfft_mxu(c, nfft)
             power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-        ac = irfft_mxu(power, jnp.zeros_like(power), nfft)[..., : max_lag + 1]
+        ac = irfft_mxu(power, jnp.zeros_like(power), nfft, out_len=max_lag + 1)
 
         taus = np.arange(max_lag + 1)
         denom = left + right
@@ -1207,7 +1207,7 @@ def _corr_scores(
     c_re = wf_re * jnp.real(tf) + wf_im * jnp.imag(tf)  # wf · conj(tf)
     c_im = wf_im * jnp.real(tf) - wf_re * jnp.imag(tf)
     d_re, d_im = _cmul(c_re, c_im, ph_re, ph_im)
-    dots = irfft_mxu(d_re, d_im, nfft)[:, : scap + 1]
+    dots = irfft_mxu(d_re, d_im, nfft, out_len=scap + 1)
 
     st = jnp.sum(template, axis=-1, keepdims=True)
     stt = jnp.sum(template * template, axis=-1, keepdims=True)

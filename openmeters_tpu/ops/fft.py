@@ -107,13 +107,42 @@ def _dft_mats_split(n: int):
     return split(c), split(s)
 
 
-def _fft_core(x_re, x_im, n: int, precision=None):
-    """Six-step DFT over the last axis. Returns (re, im) of length n."""
+def _slice_rows(mat, rows: int):
+    if isinstance(mat, tuple):  # bf16x3 (hi, lo) split
+        return mat[0][:rows], mat[1][:rows]
+    return mat[:rows]
+
+
+def _slice_cols(mat, cols: int):
+    if isinstance(mat, tuple):
+        return mat[0][:, :cols], mat[1][:, :cols]
+    return mat[:, :cols]
+
+
+def _fft_core(x_re, x_im, n: int, precision=None, in_len=None, out_len=None):
+    """Six-step DFT over the last axis.  Returns (re, im).
+
+    ``in_len``: inputs beyond this index are known zero (zero-padded
+    frames) — the first stage contracts only the ``ceil(in_len/n1)``
+    non-zero n2 rows.  ``out_len``: only outputs ``[0, out_len)`` are
+    needed — the second stage computes only ``ceil(out_len/n2)`` k1
+    columns (the outputs are k1-major), cutting the dominant matmul.
+    Returns length ``out_len`` when given, else ``n``.
+    """
     n1, n2 = _factors(n)
     batch = x_re.shape[:-1]
+    n2_cap = n2
+    if in_len is not None and in_len < n:
+        n2_cap = -(-int(in_len) // n1)
+        x_re = x_re[..., : n2_cap * n1]
+        x_im = None if x_im is None else x_im[..., : n2_cap * n1]
     # x[n1 + N1*n2] -> A[n1, n2]
-    a_re = jnp.swapaxes(x_re.reshape(*batch, n2, n1), -1, -2)
-    a_im = None if x_im is None else jnp.swapaxes(x_im.reshape(*batch, n2, n1), -1, -2)
+    a_re = jnp.swapaxes(x_re.reshape(*batch, n2_cap, n1), -1, -2)
+    a_im = (
+        None
+        if x_im is None
+        else jnp.swapaxes(x_im.reshape(*batch, n2_cap, n1), -1, -2)
+    )
 
     if precision == "bf16x3":
         f2_re, f2_im = _dft_mats_split(n2)
@@ -121,11 +150,18 @@ def _fft_core(x_re, x_im, n: int, precision=None):
     else:
         f2_re, f2_im = _dft_mats(n2)
         f1_re, f1_im = _dft_mats(n1)
+    if n2_cap < n2:
+        f2_re, f2_im = _slice_rows(f2_re, n2_cap), _slice_rows(f2_im, n2_cap)
     b_re, b_im = _stage(a_re, a_im, f2_re, f2_im, precision)  # [.., n1, n2(k2)]
 
     tw_re, tw_im = _twiddle(n)
     c_re = b_re * tw_re - b_im * tw_im
     c_im = b_re * tw_im + b_im * tw_re
+
+    k1_cap = n1
+    if out_len is not None and out_len < n:
+        k1_cap = -(-int(out_len) // n2)
+        f1_re, f1_im = _slice_cols(f1_re, k1_cap), _slice_cols(f1_im, k1_cap)
 
     # D[k2, k1] = sum_n1 C[n1, k2] F1[n1, k1]
     c_re = jnp.swapaxes(c_re, -1, -2)  # [.., k2, n1]
@@ -133,8 +169,11 @@ def _fft_core(x_re, x_im, n: int, precision=None):
     d_re, d_im = _stage(c_re, c_im, f1_re, f1_im, precision)  # [.., k2, k1]
 
     # X[k1*N2 + k2] <- D[k2, k1]
-    x_re_out = jnp.swapaxes(d_re, -1, -2).reshape(*batch, n)
-    x_im_out = jnp.swapaxes(d_im, -1, -2).reshape(*batch, n)
+    x_re_out = jnp.swapaxes(d_re, -1, -2).reshape(*batch, k1_cap * n2)
+    x_im_out = jnp.swapaxes(d_im, -1, -2).reshape(*batch, k1_cap * n2)
+    if out_len is not None and out_len < k1_cap * n2:
+        x_re_out = x_re_out[..., :out_len]
+        x_im_out = x_im_out[..., :out_len]
     return x_re_out, x_im_out
 
 
@@ -142,11 +181,14 @@ def _is_pow2(n: int) -> bool:
     return n >= 4 and (n & (n - 1)) == 0
 
 
-def rfft_mxu(x, n: int | None = None, precision=None):
+def rfft_mxu(x, n: int | None = None, precision=None, in_len=None):
     """Real-input FFT -> complex one-sided spectrum ``[..., n//2+1]``.
 
     Pads/truncates the last axis to ``n`` like ``jnp.fft.rfft(x, n)``.
     Non-power-of-two sizes fall back to XLA's fft.
+
+    ``in_len``: promise that inputs beyond this index are zero (zero-padded
+    frames) — skips the corresponding first-stage matmul rows.
 
     When the flattened batch is even, two real frames ride one complex
     transform (z = a + ib; A = (Z(k) + conj(Z(-k)))/2, B = -i(Z(k) -
@@ -155,6 +197,12 @@ def rfft_mxu(x, n: int | None = None, precision=None):
     n = n or x.shape[-1]
     if not _is_pow2(n):
         return jnp.fft.rfft(x.astype(jnp.float32), n=n, axis=-1)
+    if in_len is None and x.shape[-1] < n:
+        in_len = x.shape[-1]  # zero-padded frame: stage 1 skips the pad rows
+    if in_len is not None:
+        in_len = min(max(int(in_len), 1), n)
+        if x.shape[-1] > in_len:
+            x = x[..., :in_len]  # declared zero beyond in_len
     x = _pad_last(x.astype(jnp.float32), n)
     batch_shape = x.shape[:-1]
     total = int(np.prod(batch_shape)) if batch_shape else 1
@@ -162,7 +210,7 @@ def rfft_mxu(x, n: int | None = None, precision=None):
 
     if total >= 2 and total % 2 == 0:
         flat = x.reshape(total // 2, 2, n)
-        fr, fi = _fft_core(flat[:, 0], flat[:, 1], n, precision)
+        fr, fi = _fft_core(flat[:, 0], flat[:, 1], n, precision, in_len=in_len)
         # Z(-k) = Z((n-k) mod n): full-spectrum mirror, then one-sided slice
         mr = jnp.concatenate([fr[..., :1], fr[..., 1:][..., ::-1]], axis=-1)[..., :bins]
         mi = jnp.concatenate([fi[..., :1], fi[..., 1:][..., ::-1]], axis=-1)[..., :bins]
@@ -175,7 +223,7 @@ def rfft_mxu(x, n: int | None = None, precision=None):
         out_im = jnp.stack([a_im, b_im], axis=1).reshape(*batch_shape, bins)
         return jax.lax.complex(out_re, out_im)
 
-    re, im = _fft_core(x, None, n, precision)
+    re, im = _fft_core(x, None, n, precision, in_len=in_len)
     return jax.lax.complex(re[..., :bins], im[..., :bins])
 
 
@@ -193,21 +241,30 @@ def fft_mxu(re, im, n: int | None = None, precision=None):
     return _fft_core(re, im, n, precision)
 
 
-def ifft_mxu(re, im, n: int | None = None, precision=None):
-    """Normalized inverse complex FFT via conjugation: ifft(z) = conj(fft(conj(z)))/n."""
+def ifft_mxu(re, im, n: int | None = None, precision=None, out_len=None):
+    """Normalized inverse complex FFT via conjugation: ifft(z) = conj(fft(conj(z)))/n.
+
+    ``out_len``: only outputs ``[0, out_len)`` are needed — skips the
+    corresponding second-stage matmul columns (the dominant cost)."""
     n = n or re.shape[-1]
     if not _is_pow2(n):
         out = jnp.fft.ifft(_pad_last(re, n) + 1j * _pad_last(im, n), n=n, axis=-1)
+        if out_len is not None:
+            out = out[..., :out_len]
         return jnp.real(out), jnp.imag(out)
-    fr, fi = _fft_core(_pad_last(re, n), -_pad_last(im, n), n, precision)
+    fr, fi = _fft_core(
+        _pad_last(re, n), -_pad_last(im, n), n, precision, out_len=out_len
+    )
     inv = 1.0 / n
     return fr * inv, -fi * inv
 
 
-def irfft_mxu(spec_re, spec_im, n: int, precision=None):
+def irfft_mxu(spec_re, spec_im, n: int, precision=None, out_len=None):
     """Inverse of :func:`rfft_mxu`: one-sided ``[..., n//2+1]`` (re, im) ->
-    real ``[..., n]``.  Rebuilds the hermitian spectrum with a static mirror
-    (cheap permutation) and runs the MXU inverse FFT.
+    real ``[..., n]`` (or ``[..., out_len]``).  Rebuilds the hermitian
+    spectrum with a static mirror (cheap permutation) and runs the MXU
+    inverse FFT; ``out_len`` skips second-stage matmul columns for callers
+    that only read a prefix (autocorrelation lags, search offsets).
 
     Mirror of the forward pair-packing: when the flattened batch is even, two
     hermitian spectra ride one complex inverse transform (Z = A + iB with A, B
@@ -215,11 +272,14 @@ def irfft_mxu(spec_re, spec_im, n: int, precision=None):
     """
     if not _is_pow2(n):
         out = jnp.fft.irfft(spec_re + 1j * spec_im, n=n, axis=-1)
+        if out_len is not None:
+            out = out[..., :out_len]
         return out.astype(jnp.float32)
     half = n // 2  # bins = half + 1; remaining bins k = half+1..n-1 = conj(spec[n-k])
     full_re = jnp.concatenate([spec_re, spec_re[..., 1:half][..., ::-1]], axis=-1)
     full_im = jnp.concatenate([spec_im, -spec_im[..., 1:half][..., ::-1]], axis=-1)
 
+    out_n = n if out_len is None else min(int(out_len), n)
     batch_shape = full_re.shape[:-1]
     total = int(np.prod(batch_shape)) if batch_shape else 1
     if total >= 2 and total % 2 == 0:
@@ -227,10 +287,10 @@ def irfft_mxu(spec_re, spec_im, n: int, precision=None):
         fi = full_im.reshape(total // 2, 2, n)
         z_re = fr[:, 0] - fi[:, 1]  # A + iB with both hermitian
         z_im = fi[:, 0] + fr[:, 1]
-        a, b = ifft_mxu(z_re, z_im, n, precision)
-        return jnp.stack([a, b], axis=1).reshape(*batch_shape, n)
+        a, b = ifft_mxu(z_re, z_im, n, precision, out_len=out_len)
+        return jnp.stack([a, b], axis=1).reshape(*batch_shape, out_n)
 
-    re, _ = ifft_mxu(full_re, full_im, n, precision)
+    re, _ = ifft_mxu(full_re, full_im, n, precision, out_len=out_len)
     return re
 
 

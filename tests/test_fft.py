@@ -102,3 +102,49 @@ def test_spectral_parity_vs_f32_reference_path():
     err = np.max(np.abs(ours - ref32)) / np.max(np.abs(ref32))
     err_db = 20 * np.log10(max(err, 1e-30))
     assert err_db <= -100.0, f"spectral error {err_db:.1f} dB"
+
+
+def test_partial_input_rfft_matches_full(rng):
+    """in_len (explicit or inferred from a short frame) must not change the
+    spectrum: the skipped stage-1 rows are exactly the zero padding."""
+    from openmeters_tpu.ops.fft import rfft_mxu
+
+    n = 2048
+    for batch in (4, 5):  # pair-packed and odd paths
+        x = rng.standard_normal((batch, 1200)).astype(np.float32)
+        xp = np.concatenate([x, np.zeros((batch, n - 1200), np.float32)], -1)
+        full = np.asarray(rfft_mxu(xp, n))
+        short = np.asarray(rfft_mxu(x, n))  # in_len inferred
+        explicit = np.asarray(rfft_mxu(xp, n, in_len=1200))
+        np.testing.assert_allclose(short, full, rtol=0, atol=1e-4)
+        np.testing.assert_allclose(explicit, full, rtol=0, atol=1e-4)
+
+
+def test_partial_output_irfft_matches_prefix(rng):
+    from openmeters_tpu.ops.fft import irfft_mxu, rfft_mxu
+
+    n = 2048
+    for batch in (4, 5):
+        x = rng.standard_normal((batch, n)).astype(np.float32)
+        spec = np.asarray(rfft_mxu(x, n))
+        full = np.asarray(irfft_mxu(spec.real, spec.imag, n))
+        for out_len in (1, 63, 64, 700, n):
+            part = np.asarray(
+                irfft_mxu(spec.real, spec.imag, n, out_len=out_len)
+            )
+            assert part.shape[-1] == out_len
+            np.testing.assert_allclose(
+                part, full[..., :out_len], rtol=0, atol=1e-5
+            )
+
+
+def test_partial_output_ifft_matches_prefix(rng):
+    from openmeters_tpu.ops.fft import ifft_mxu
+
+    n = 1024
+    re = rng.standard_normal((3, n)).astype(np.float32)
+    im = rng.standard_normal((3, n)).astype(np.float32)
+    fr, fi = ifft_mxu(re, im, n)
+    pr, pi = ifft_mxu(re, im, n, out_len=100)
+    np.testing.assert_allclose(np.asarray(pr), np.asarray(fr)[..., :100], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pi), np.asarray(fi)[..., :100], atol=1e-6)
