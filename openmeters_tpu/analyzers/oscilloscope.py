@@ -544,23 +544,13 @@ class OscilloscopeAnalyzer:
         from openmeters_tpu.ops.pallas_osc_corr import corr_supported
 
         fused_corr = corr_supported(self.corr_fft)
-        if not fused_corr:
-            # the fused kernel consumes the RAW window (normalized
-            # correlation is exactly shift-invariant, so the running-mean
-            # subtraction cannot change scores) and returns the region mean
-            # itself; the XLA fallback keeps the masked, mean-subtracted
-            # formulation
-            widx = np.arange(wcap)
-            wvalid = widx[None, :] >= (wcap - wlen)[:, None]
-            wmean = jnp.sum(
-                jnp.where(wvalid, work, 0.0), axis=-1
-            ) / jnp.maximum(wlen.astype(jnp.float32), 1.0)
-            mean_state = jnp.where(
-                can_locate,
-                mean_state + MEAN_RESPONSIVENESS * (wmean - mean_state),
-                mean_state,
-            )
-            work = jnp.where(wvalid, work - mean_state[:, None], 0.0)
+        # Both paths consume the RAW window: normalized correlation is
+        # exactly shift-invariant (dot - sx*st/n centers both operands), and
+        # the candidate centering telescopes — (seg - m) - (cmean - m) ==
+        # seg - cmean for any per-stream constant m — so the reference's
+        # running-mean subtraction of the work region (processor.rs:381-399)
+        # cannot change a single output; only the mean_state EMA itself is
+        # kept (fed from the region mean, computed from the cumsums below).
 
         # Centered template store — the TPU-first replacement for the
         # reference's retune resample (processor.rs:249-263,486-498).  The
@@ -652,10 +642,21 @@ class OscilloscopeAnalyzer:
                 )
 
             ends = jnp.stack([base + klen, base], axis=1)  # [S, 2]
-            r1 = window_rows(padded_cumsum(work), ends, scap + 1)
+            cs = padded_cumsum(work)
+            r1 = window_rows(cs, ends, scap + 1)
             r2 = window_rows(padded_cumsum(work * work), ends, scap + 1)
             sx = r1[:, 0] - r1[:, 1]
             sxx = r2[:, 0] - r2[:, 1]
+            # region mean for the mean_state EMA: the valid region starts at
+            # base (wlen = search + klen), so its prefix sum is r1[:, 1, 0]
+            wmean = (cs[:, wcap] - r1[:, 1, 0]) / jnp.maximum(
+                wlen.astype(jnp.float32), 1.0
+            )
+            mean_state = jnp.where(
+                can_locate,
+                mean_state + MEAN_RESPONSIVENESS * (wmean - mean_state),
+                mean_state,
+            )
 
             def cmean_at(offset):
                 oh = (
