@@ -123,9 +123,11 @@ def build_full_engine(n_streams_hint: int = 1024):
     return MeterEngine(cfg)
 
 
-def build_config5_engine():
+def build_config5_engine(trigger_every: int = 3):
     """BASELINE configs[4]: oscilloscope stable trigger + stereometer
-    Lissajous/band correlation + waveform band history, one batched graph."""
+    Lissajous/band correlation + waveform band history, one batched graph.
+    ``trigger_every=1`` re-evaluates the trigger on every ingest hop (the
+    reference's per-processed-block behavior); 3 is display-rate cadence."""
     from openmeters_tpu.analyzers.oscilloscope import OscilloscopeConfig
     from openmeters_tpu.analyzers.stereometer import StereometerConfig
     from openmeters_tpu.analyzers.waveform import WaveformConfig
@@ -137,7 +139,7 @@ def build_config5_engine():
             loudness=None,
             spectrogram=None,
             spectrum=None,
-            oscilloscope=OscilloscopeConfig(trigger_every=3),
+            oscilloscope=OscilloscopeConfig(trigger_every=trigger_every),
             stereometer=StereometerConfig(analyze_bands=True),
             waveform=WaveformConfig(analyze_bands=True, track_history=True),
         )
@@ -193,6 +195,9 @@ def main():
         eng5 = build_config5_engine()
         r = measure(eng5, 1024, iters=64)
         _report("config5 (osc+stereo+waveform)", r)
+        eng5e1 = build_config5_engine(trigger_every=1)
+        r = measure(eng5e1, 1024, iters=64)
+        _report("config5 trigger_every=1 (per-hop trigger)", r)
 
     engine = build_engine()
     best = None
