@@ -423,11 +423,24 @@ def render_spectrum_frame(
     color=(0.3, 0.9, 1.0, 1.0),
     fill_alpha: float = OSC_FILL_ALPHA,
     width: float = 1.5,
+    ticks: list | None = None,
+    tick_color=(1.0, 1.0, 1.0, 0.10),
+    peak_marker: tuple | None = None,
+    peak_opacity: float = 0.0,
 ) -> None:
     """Spectrum line + baseline fill from :func:`views.spectrum_points`
     output (spectrum/render.rs: line + fill pipeline; min/max decimation to
     pixel columns via ``decimate_finite_ordered_line_in_place``,
-    render/common.rs:306-383)."""
+    render/common.rs:306-383).  ``ticks`` takes
+    :func:`views.spectrum_grid_ticks` output (vertical decade grid lines,
+    majors brighter); ``peak_marker`` takes a normalized (x, y) from
+    :class:`views.SpectrumPeakLabel` with its decayed ``opacity``."""
+    if ticks:
+        for _f, x, major, _label in ticks:
+            tx = x * (canvas.width - 1)
+            c = list(tick_color)
+            c[3] = tick_color[3] * (2.0 if major else 1.0)
+            canvas.polyline([(tx, 0.0), (tx, canvas.height - 1.0)], c, width=1.0)
     pts = np.asarray(points, np.float32)[np.asarray(valid, bool)]
     if len(pts) < 2:
         return
@@ -439,6 +452,10 @@ def render_spectrum_frame(
     fill = (*np.asarray(color[:3]), color[3] * fill_alpha)
     canvas.baseline_fill(px[:, 0], px[:, 1], canvas.height - 1.0, fill)
     canvas.polyline(px, color, width=width)
+    if peak_marker is not None and peak_opacity > 0.01:
+        mx = float(peak_marker[0]) * (canvas.width - 1)
+        my = (1.0 - float(peak_marker[1])) * (canvas.height - 1)
+        canvas.dots([(mx, my)], 2.5, (1.0, 1.0, 1.0, min(peak_opacity, 1.0)))
 
 
 def render_oscilloscope_frame(
@@ -696,7 +713,12 @@ def render_series(series: list, config, out_dir, stream: int = 0,
                 emit("spectrogram", compose_rgba(rgba))
 
     if "spectrum" in snaps:
-        from openmeters_tpu.views import spectrum_points
+        from openmeters_tpu.views import (
+            SPECTRUM_MIN_FREQUENCY,
+            SpectrumPeakLabel,
+            spectrum_grid_ticks,
+            spectrum_points,
+        )
 
         sp = snaps["spectrum"]
         scfg = config.spectrum.normalized()
@@ -705,14 +727,22 @@ def render_series(series: list, config, out_dir, stream: int = 0,
             * config.sample_rate
             / scfg.fft_size
         )
+        db = np.asarray(sp.weighted_db)[stream, 0]
+        scale = FrequencyScale.LOGARITHMIC
         cv = Canvas(width, height)
         pts, valid = spectrum_points(
-            np.asarray(sp.weighted_db)[stream, 0],
-            bins_hz,
-            FrequencyScale.LOGARITHMIC,
-            floor_db=float(scfg.floor_db),
+            db, bins_hz, scale, floor_db=float(scfg.floor_db)
         )
-        render_spectrum_frame(cv, pts, valid)
+        peak = SpectrumPeakLabel(floor_db=float(scfg.floor_db))
+        peak.update(bins_hz, db, scale)
+        render_spectrum_frame(
+            cv, pts, valid,
+            ticks=spectrum_grid_ticks(
+                SPECTRUM_MIN_FREQUENCY, float(bins_hz[-1]), scale
+            ),
+            peak_marker=peak.marker_pos if peak.content else None,
+            peak_opacity=peak.opacity,
+        )
         emit("spectrum", cv.to_srgb_u8())
 
     if "oscilloscope" in snaps:
