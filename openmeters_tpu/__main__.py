@@ -102,17 +102,34 @@ def cmd_serve(args) -> int:
         spectrogram=SpectrogramConfig(fft_size=2048, hop_size=64, use_reassignment=False),
         spectrum=None,
     )
-    server = MeterServer(
-        ServeConfig(
-            n_streams=args.streams,
-            channels=2,
-            engine=engine_cfg,
-            realtime=not args.flat_out,
-            fetch=args.fetch,
-            assembler_shards=args.assembler_shards,
-            scan_hops=args.scan_hops,
-        )
+    serve_cfg = ServeConfig(
+        n_streams=args.streams,
+        channels=2,
+        engine=engine_cfg,
+        realtime=not args.flat_out,
+        fetch=args.fetch,
+        assembler_shards=args.assembler_shards,
+        scan_hops=args.scan_hops,
     )
+
+    if args.socket:
+        # session mode: external producers connect over the unix socket
+        # (HELLO/FORMAT negotiation, identity routing, per-rate engine
+        # buckets — meter.rs:20-25 semantics)
+        from openmeters_tpu.serve import MultiRateMeterServer
+
+        rates = tuple(float(r) for r in args.rates.split(","))
+        server = MultiRateMeterServer(serve_cfg, rates, socket_path=args.socket)
+        try:
+            report = server.run(args.duration)
+            view = server.runtime.view() if server.runtime else {}
+        finally:
+            server.close()
+        report["links"] = view.get("links", {})
+        print(json.dumps(report, default=str))
+        return 0
+
+    server = MeterServer(serve_cfg)
     feeder = Feeder(
         server.transport, n_threads=args.feeder_threads, frames_per_push=1024
     )
@@ -219,6 +236,11 @@ def main(argv=None) -> int:
                     help="no pacing: measure max throughput")
     pv.add_argument("--scan-hops", type=int, default=1,
                     help="device-side hops per dispatch (amortizes link latency)")
+    pv.add_argument("--socket", help="unix socket path: serve external "
+                    "producers (identity routing, per-rate buckets) instead "
+                    "of the synthetic feeder")
+    pv.add_argument("--rates", default="48000",
+                    help="comma-separated sample-rate buckets for --socket")
     pv.add_argument("--ingest-only", action="store_true",
                     help="host-only ingest benchmark (no device work)")
     pv.set_defaults(fn=cmd_serve)

@@ -176,6 +176,51 @@ def test_cli_selftest_and_analyze(tmp_path, capsys):
     assert settings.exists()
 
 
+def test_cli_serve_socket_sessions(tmp_path, capsys):
+    """`serve --socket --rates` runs the session runtime end-to-end: a
+    producer connects mid-run, its link shows in the report."""
+    import json
+    import os
+    import threading
+    import time
+
+    from openmeters_tpu.__main__ import main
+
+    sock = str(tmp_path / "cli.sock")
+    connected = {}
+
+    def producer():
+        deadline = time.monotonic() + 60.0
+        while time.monotonic() < deadline and not os.path.exists(sock):
+            time.sleep(0.05)
+        from openmeters_tpu.ingest.runtime import ProducerClient
+
+        c = ProducerClient(
+            sock, {"app_name": "cli44", "channels": 2, "sample_rate": 44_100.0}
+        )
+        try:
+            connected["slot"] = c.connect()
+            t = np.arange(4410) / 44_100.0
+            x = (0.4 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+            c.send_pcm(np.stack([x, x], -1), 0)
+            time.sleep(0.3)
+        finally:
+            c.close()
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+    rc = main([
+        "serve", "--socket", sock, "--rates", "44100,48000",
+        "--streams", "2", "--duration", "2.0", "--fetch", "none",
+    ])
+    th.join(timeout=10)
+    assert rc == 0
+    assert connected.get("slot") is not None
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "44100.0" in report and "48000.0" in report
+    assert "app.name:cli44" in report["links"]
+
+
 def test_waveform_history_ring():
     from openmeters_tpu.analyzers.waveform import WaveformAnalyzer, WaveformConfig
     from openmeters_tpu.views import WaveformHistory
