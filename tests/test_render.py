@@ -5,7 +5,6 @@ import pytest
 
 from openmeters_tpu.render import (
     Canvas,
-    DB_ANALYSIS_FLOOR,
     compose_rgba,
     decode_png,
     encode_png,
