@@ -627,7 +627,15 @@ class OscilloscopeAnalyzer:
                 t = jnp.where(use_ref[:, None], edges + reference, edges)
                 return jnp.where(kmask, t, 0.0)
 
-            wf = rfft_mxu(work, self.corr_fft)
+            # one pair-packed transform covers BOTH the work window and the
+            # blended template (zero-padded kcap -> wcap rows): same math as
+            # two calls, one fewer six-step dispatch chain per hop
+            template = template_of(use_reference)
+            stacked = jnp.concatenate(
+                [work, jnp.pad(template, ((0, 0), (0, wcap - kcap)))], axis=0
+            )
+            sf = rfft_mxu(stacked, self.corr_fft)
+            wf, tf_main = sf[:s], sf[s:]
             wf_re, wf_im = jnp.real(wf), jnp.imag(wf)
             # dots anchor on the template grid (centered store): base_t
             ph_re, ph_im = _shift_phase(base_t, self.corr_fft)
@@ -682,15 +690,14 @@ class OscilloscopeAnalyzer:
                 )
                 return best.astype(jnp.int32), frac
 
-            def search_best(template):
+            def search_best(template, tf=None):
                 scores = _corr_scores(
                     wf_re, wf_im, sx, sxx, template, klen, ph_re, ph_im,
-                    self.corr_fft, scap,
+                    self.corr_fft, scap, tf=tf,
                 )
                 return pick(scores)
 
-            template = template_of(use_reference)
-            best, frac = search_best(template)
+            best, frac = search_best(template, tf=tf_main)
             cmean_b = cmean_at(best)
 
         # candidate write + reference reset check (processor.rs:381-399,509-527)
@@ -1197,14 +1204,19 @@ def _shift_phase(shift, nfft: int):
 
 
 def _corr_scores(
-    wf_re, wf_im, sx, sxx, template, klen, ph_re, ph_im, nfft: int, scap: int
+    wf_re, wf_im, sx, sxx, template, klen, ph_re, ph_im, nfft: int, scap: int,
+    tf=None,
 ):
     """Dense normalized correlation scores at offsets 0..scap (work index
     base+o).  The sliding dot is an MXU FFT cross-correlation; the window
-    sums arrive precomputed from :func:`_sliding_sums`."""
+    sums arrive precomputed from :func:`_sliding_sums`.  ``tf``: optional
+    precomputed spectrum of ``template`` (the hot path transforms work and
+    template in ONE pair-packed six-step call; the rare reset re-search
+    under its ``lax.cond`` transforms its edge template here instead)."""
     from openmeters_tpu.ops.fft import irfft_mxu, rfft_mxu
 
-    tf = rfft_mxu(template, nfft)
+    if tf is None:
+        tf = rfft_mxu(template, nfft)
     c_re = wf_re * jnp.real(tf) + wf_im * jnp.imag(tf)  # wf · conj(tf)
     c_im = wf_im * jnp.real(tf) - wf_re * jnp.imag(tf)
     d_re, d_im = _cmul(c_re, c_im, ph_re, ph_im)
