@@ -206,9 +206,21 @@ def cmd_selftest(args) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
     from openmeters_tpu.tracing import init_tracing
 
     init_tracing()
+    # Honor JAX_PLATFORMS in-process: this image's TPU plugin wins over the
+    # env var during backend discovery, so `JAX_PLATFORMS=cpu python -m
+    # openmeters_tpu ...` would still try (and, tunnel down, hang on) the
+    # TPU unless the config is pinned before first backend use — the same
+    # override tests/conftest.py and __graft_entry__.py apply.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     p = argparse.ArgumentParser(prog="openmeters_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
