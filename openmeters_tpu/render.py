@@ -527,6 +527,37 @@ def render_stereometer_frame(
     canvas.dots(centers, dot_radius, color)
 
 
+def render_correlation_meter(
+    canvas: Canvas,
+    trail,
+    *,
+    x0: float,
+    x1: float,
+    positive=(0.35, 0.95, 0.55, 0.9),
+    negative=(0.95, 0.4, 0.35, 0.9),
+    edge: float = 6.0,
+) -> None:
+    """Correlation side meter (stereometer/render.rs:398-440): the trail's
+    per-row max-alpha column drawn as 1-px quads colored by sign around the
+    center line, plus a 2-px marker at the current value.  ``trail`` is a
+    :class:`openmeters_tpu.views.CorrelationTrail`."""
+    from openmeters_tpu.views import correlation_trail_alpha
+
+    h = canvas.height
+    alpha, marker_y = correlation_trail_alpha(trail, h, edge=edge)
+    center = h / 2.0
+    pos = np.asarray(positive, np.float32)
+    neg = np.asarray(negative, np.float32)
+    for y in np.nonzero(alpha > 0.0)[0]:
+        c = neg if (y + 0.5) > center else pos
+        c = np.concatenate([c[:3], [c[3] * float(alpha[y])]])
+        canvas.gradient_quad(x0, float(y), x1, float(y + 1), c)
+    if marker_y is not None:
+        cur = float(trail.values[0])
+        c = neg if cur < 0.0 else pos
+        canvas.gradient_quad(x0, marker_y - 1.0, x1, marker_y + 1.0, c)
+
+
 def render_waveform_frame(
     canvas: Canvas,
     columns: list,
@@ -751,6 +782,8 @@ def render_series(series: list, config, out_dir, stream: int = 0,
         emit("oscilloscope", cv.to_srgb_u8())
 
     if "stereometer" in snaps:
+        from openmeters_tpu.views import CorrelationTrail
+
         st = snaps["stereometer"]
         cv = Canvas(height, height)
         cloud = np.asarray(st.points)[stream, 0]  # full-band cloud [target, 2]
@@ -758,6 +791,13 @@ def render_series(series: list, config, out_dir, stream: int = 0,
         render_stereometer_frame(
             cv, cloud, np.full((cloud.shape[0],), ok, bool)
         )
+        # full-band correlation trail across the series -> right-edge meter
+        trail = CorrelationTrail()
+        for hop in series:
+            sm = hop["stereometer"]
+            if bool(np.asarray(sm.points_valid)[stream]):
+                trail.push_front(float(np.asarray(sm.correlations)[stream, 0]))
+        render_correlation_meter(cv, trail, x0=cv.width - 10.0, x1=cv.width - 2.0)
         emit("stereometer", cv.to_srgb_u8())
 
     if "waveform" in snaps:

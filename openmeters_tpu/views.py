@@ -207,6 +207,99 @@ def stereometer_scaled_compression(x, y):
     return x * scale, y * scale
 
 
+WAVEFORM_SCROLL_TIMEOUT = 0.1  # waveform/state.rs:19 (SCROLL_CLOCK_TIMEOUT)
+
+
+@dataclasses.dataclass
+class WaveformScrollClock:
+    """Wall-clock scroll interpolation (waveform/state.rs:92-105): between
+    snapshots the partial-column progress advances by elapsed wall time x
+    scroll rate so the waveform glides instead of stepping per hop; when the
+    clock is stale (no frame or no snapshot within 100 ms) it snaps back to
+    the processor's preview progress.  Clamped to [0, 1] like the
+    reference."""
+
+    last_time: float = 0.0
+    offset: float = 0.0
+    snapshot_at: float = 0.0
+
+    def mark_snapshot(self, now: float) -> None:
+        self.snapshot_at = now
+
+    def progress(
+        self, now: float, preview_progress: float, columns_per_sec: float
+    ) -> float:
+        elapsed = max(now - self.last_time, 0.0)
+        fresh = (
+            elapsed <= WAVEFORM_SCROLL_TIMEOUT
+            and (now - self.snapshot_at) <= WAVEFORM_SCROLL_TIMEOUT
+        )
+        if fresh:
+            off = self.offset + elapsed * max(columns_per_sec, 0.0)
+        else:
+            off = float(preview_progress)
+        off = min(max(off, 0.0), 1.0)
+        self.last_time, self.offset = now, off
+        return off
+
+
+CORR_TRAIL_LEN = 32  # stereometer/render.rs:38
+
+
+class CorrelationTrail:
+    """The reference's ``FixedTrail`` (stereometer/render.rs:63-76): a
+    fixed-capacity recency trail of correlation values, newest first.
+    ``segment_opacities`` is the draw-side fade curve
+    ``(1 - (age+1)/len)^2.4`` applied to the segment between values
+    ``age`` and ``age+1`` (stereometer/render.rs:42-44,411-416)."""
+
+    def __init__(self, cap: int = CORR_TRAIL_LEN):
+        self.cap = int(cap)
+        self.values = np.zeros(0, np.float32)
+
+    def push_front(self, value: float) -> None:
+        self.values = np.concatenate(
+            [np.float32([value]), self.values[: self.cap - 1]]
+        )
+
+    def reset(self) -> None:
+        self.values = np.zeros(0, np.float32)
+
+    def segment_opacities(self) -> np.ndarray:
+        n = len(self.values)
+        if n < 2:
+            return np.zeros(0, np.float32)
+        age = np.arange(n - 1, dtype=np.float32)
+        return ((1.0 - (age + 1.0) / n) ** 2.4).astype(np.float32)
+
+
+def correlation_trail_alpha(
+    trail: CorrelationTrail, height: int, edge: float = 6.0
+):
+    """Per-pixel-row alpha column for the correlation side meter
+    (stereometer/render.rs:398-431): each trail segment [v_age, v_age+1]
+    covers the pixel rows between its endpoints (+2 px pad) at its fade
+    opacity, rows keep the MAX opacity across segments; returns
+    ``(alpha [height], marker_y or None)``.  ``val_y`` maps +1 to the top
+    inset and -1 to the bottom inset (CORR_EDGE=6, render.rs:40)."""
+    alpha = np.zeros(int(height), np.float32)
+    v = trail.values
+    if len(v) == 0:
+        return alpha, None
+
+    def val_y(val: float) -> float:
+        return edge + (1.0 - float(val)) * 0.5 * (height - 2.0 * edge)
+
+    ops = trail.segment_opacities()
+    for age, op in enumerate(ops):
+        y0, y1 = val_y(v[age]), val_y(v[age + 1])
+        top = max(int(min(y0, y1)), 0)
+        bottom = min(int(max(y0, y1) + 2.0), int(height) - 1)
+        if bottom >= top:
+            alpha[top : bottom + 1] = np.maximum(alpha[top : bottom + 1], op)
+    return alpha, val_y(v[0])
+
+
 def reassigned_accumulate(
     freq_hz: np.ndarray,
     time_offset: np.ndarray,

@@ -239,3 +239,44 @@ def test_render_snapshots_end_to_end(tmp_path):
         img = decode_png(open(p, "rb").read())
         assert img.ndim == 3 and img.shape[2] == 3
         assert img.max() > 0  # something was drawn
+
+
+def test_correlation_trail_semantics_and_meter():
+    from openmeters_tpu.render import render_correlation_meter
+    from openmeters_tpu.views import (
+        CORR_TRAIL_LEN,
+        CorrelationTrail,
+        correlation_trail_alpha,
+    )
+
+    # FixedTrail::push_front (stereometer/render.rs:63-76): newest first,
+    # capacity-bounded
+    tr = CorrelationTrail()
+    for i in range(CORR_TRAIL_LEN + 5):
+        tr.push_front(i / 100.0)
+    assert len(tr.values) == CORR_TRAIL_LEN
+    assert tr.values[0] == np.float32((CORR_TRAIL_LEN + 4) / 100.0)
+    assert tr.values[-1] == np.float32(5 / 100.0)
+
+    # fade curve (render.rs:42-44): (1 - (age+1)/len)^2.4, strictly decaying
+    ops = tr.segment_opacities()
+    assert ops.shape == (CORR_TRAIL_LEN - 1,)
+    expect = (1.0 - (np.arange(CORR_TRAIL_LEN - 1) + 1.0) / CORR_TRAIL_LEN) ** 2.4
+    np.testing.assert_allclose(ops, expect, rtol=1e-6)
+    assert np.all(np.diff(ops) < 0)
+
+    # alpha column: rows covered by newer segments win (max), marker at v[0]
+    tr2 = CorrelationTrail()
+    tr2.push_front(-1.0)
+    tr2.push_front(1.0)
+    alpha, marker_y = correlation_trail_alpha(tr2, 100, edge=6.0)
+    assert marker_y == 6.0  # val_y(+1) = top inset
+    assert alpha.max() > 0.0
+    assert alpha[50] > 0.0  # the segment spans the full strip
+
+    cv = Canvas(32, 100)
+    render_correlation_meter(cv, tr2, x0=24.0, x1=30.0)
+    assert cv.buf[:, 24:30, :3].max() > 0.1  # strip drawn
+    assert cv.buf[:, :20, :3].max() == 0.0  # only the strip columns drawn
+    # current value is +1 (top) -> marker row is positive-colored (green ch)
+    assert cv.buf[6, 25, 1] > cv.buf[6, 25, 0]

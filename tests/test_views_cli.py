@@ -336,3 +336,26 @@ def test_spectrum_analyzer_to_display_pipeline():
     # the tone lands at its ERB display position
     pos = float(FrequencyScale.ERB.pos_of(20.0, float(bins[-1]), 2000.0))
     assert abs(int(np.argmax(out[0])) - int(pos * 512)) <= 2
+
+
+def test_waveform_scroll_clock_interpolation():
+    """waveform/state.rs:92-105: fresh clock extrapolates by elapsed *
+    rate (clamped), stale clock snaps to the processor preview progress."""
+    from openmeters_tpu.views import WaveformScrollClock
+
+    clk = WaveformScrollClock()
+    clk.mark_snapshot(0.0)
+    # first call: elapsed 0.02s within timeout -> extrapolate from offset 0
+    p = clk.progress(0.02, preview_progress=0.5, columns_per_sec=10.0)
+    assert abs(p - 0.2) < 1e-6
+    # keeps integrating across frames while fresh
+    clk.mark_snapshot(0.05)
+    p = clk.progress(0.05, preview_progress=0.9, columns_per_sec=10.0)
+    assert abs(p - 0.5) < 1e-6
+    # clamp at 1.0
+    clk.mark_snapshot(0.13)
+    p = clk.progress(0.13, preview_progress=0.0, columns_per_sec=10.0)
+    assert p == 1.0
+    # stale (no snapshot within 100 ms) -> snap back to preview progress
+    p = clk.progress(0.5, preview_progress=0.35, columns_per_sec=10.0)
+    assert p == 0.35
