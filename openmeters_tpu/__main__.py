@@ -130,6 +130,10 @@ def cmd_serve(args) -> int:
         return 0
 
     server = MeterServer(serve_cfg)
+    if args.tui:
+        from openmeters_tpu.tui import serve_tui_callback
+
+        server.on_drain = serve_tui_callback(stream=args.tui_stream)
     feeder = Feeder(
         server.transport, n_threads=args.feeder_threads, frames_per_push=1024
     )
@@ -253,6 +257,10 @@ def main(argv=None) -> int:
                     "of the synthetic feeder")
     pv.add_argument("--rates", default="48000",
                     help="comma-separated sample-rate buckets for --socket")
+    pv.add_argument("--tui", action="store_true",
+                    help="live terminal meters at display rate (stderr)")
+    pv.add_argument("--tui-stream", type=int, default=0,
+                    help="stream index shown by --tui")
     pv.add_argument("--ingest-only", action="store_true",
                     help="host-only ingest benchmark (no device work)")
     pv.set_defaults(fn=cmd_serve)

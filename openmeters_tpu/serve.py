@@ -168,6 +168,7 @@ class MeterServer:
         self.stats = EngineStats()
         self.latencies_ms: list[float] = []
         self.last_snapshot = None
+        self.on_drain = None  # optional display-rate callback (fires per drained fetch)
         self._inflight: list[tuple[float, object]] = []
         self._buf_i = 0
 
@@ -274,6 +275,8 @@ class MeterServer:
         t0, packed = self._inflight.pop(0)
         self.last_snapshot = np.asarray(packed)
         self.latencies_ms.append((time.perf_counter() - t0) * 1e3)
+        if self.on_drain is not None:
+            self.on_drain(self)  # display-rate consumer (e.g. the TUI)
 
     def advance(self) -> None:
         """One engine advance: a hop plus backlog catch-up (coalescing)."""

@@ -1,0 +1,141 @@
+"""Live terminal meters: the UI layer's headless analogue (SURVEY §2.14).
+
+The reference renders its meters in an iced GUI at display rate
+(``src/ui/app.rs``, frame clock ``ui/widgets/frame_clock.rs``); the rebuild
+is headless, so this module gives ``serve`` a terminal view instead: a pure
+formatter from the server's drained meter leaves (``MeterServer.
+last_meters()``) to an ANSI frame, plus a small stateful view owning the
+display ballistics the reference keeps in its view models — loudness
+peak-hold (loudness/state.rs:20-59 via :class:`views.PeakHold`) and the
+correlation trail (stereometer/render.rs:63-76 via
+:class:`views.CorrelationTrail`).
+
+Everything is plain strings — testable without a terminal; the CLI decides
+whether to add cursor-home escapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from openmeters_tpu.views import CorrelationTrail, PeakHold
+
+BLOCKS = " ▏▎▍▌▋▊▉█"  # 1/8th blocks
+
+
+def _bar(value: float, lo: float, hi: float, width: int) -> str:
+    """Left-to-right level bar with 1/8th-block resolution."""
+    t = 0.0 if hi <= lo else (float(value) - lo) / (hi - lo)
+    t = min(max(t, 0.0), 1.0)
+    cells = t * width
+    full = int(cells)
+    frac = int((cells - full) * 8)
+    s = "█" * full
+    if full < width and frac:
+        s += BLOCKS[frac]
+    return s.ljust(width)
+
+
+def _center_bar(value: float, width: int) -> str:
+    """[-1, +1] bar growing from the center (correlation meter)."""
+    v = min(max(float(value), -1.0), 1.0)
+    half = width // 2
+    n = int(round(abs(v) * half))
+    left = ("█" * n).rjust(half) if v < 0 else " " * half
+    right = ("█" * n).ljust(half) if v >= 0 else " " * half
+    return left + "│" + right
+
+
+def _marker_bar(value: float, hold: float, lo: float, hi: float, width: int) -> str:
+    """Level bar plus a peak-hold tick at ``hold``."""
+    s = list(_bar(value, lo, hi, width))
+    if hi > lo:
+        t = (min(max(float(hold), lo), hi) - lo) / (hi - lo)
+        i = min(int(t * width), width - 1)
+        if s[i] == " ":
+            s[i] = "▕"
+    return "".join(s)
+
+
+def _pick(meters: dict, part: str):
+    """First packed leaf whose keystr path contains ``part`` (layout keys
+    look like ``['loudness'].momentary_lufs``)."""
+    for key, arr in meters.items():
+        if part in key:
+            return np.asarray(arr)
+    return None
+
+
+class TuiView:
+    """Stateful display: ballistics across frames for one stream."""
+
+    def __init__(self, stream: int = 0, width: int = 40):
+        self.stream = int(stream)
+        self.width = int(width)
+        self._tp_hold = PeakHold.new((1,), floor_db=-60.0)
+        self._trail = CorrelationTrail()
+
+    def render(self, meters: dict, now: float) -> str:
+        s, w = self.stream, self.width
+        lines = []
+
+        def val(part: str):
+            arr = _pick(meters, part)
+            if arr is None:
+                return None
+            flat = arr.reshape(arr.shape[0], -1) if arr.ndim > 1 else arr[:, None]
+            return flat[s] if s < flat.shape[0] else None
+
+        mom = val("momentary_lufs")
+        if mom is not None:
+            lines.append(f"M  {_bar(mom[0], -60, 0, w)} {mom[0]:7.1f} LUFS")
+        st = val("short_term_lufs")
+        if st is not None:
+            lines.append(f"S  {_bar(st[0], -60, 0, w)} {st[0]:7.1f} LUFS")
+        tp = val("true_peak_db")
+        if tp is not None:
+            cur = float(np.max(tp))
+            hold = float(self._tp_hold.update(np.float32([cur]), now)[0])
+            lines.append(
+                f"TP {_marker_bar(cur, hold, -60, 6, w)} {cur:7.1f} dBTP"
+            )
+        corr = val("correlations")
+        if corr is not None:
+            self._trail.push_front(float(corr[0]))
+            lines.append(f"C  {_center_bar(corr[0], w)} {corr[0]:+7.2f}")
+        per = val("period")
+        if per is not None and per[0] > 0:
+            f0 = 48_000.0 / float(per[0])
+            lines.append(f"f0 {f0:7.1f} Hz")
+        return "\n".join(lines)
+
+
+def serve_tui_callback(stream: int = 0, width: int = 40, min_interval: float = 1 / 15):
+    """Build a ``MeterServer.on_drain`` callback that repaints a terminal
+    frame (stderr, cursor-home) at most every ``min_interval`` seconds —
+    the frame-clock cadence of the reference UI (frame_clock.rs:17-151)."""
+    import sys
+    import time
+
+    view = TuiView(stream=stream, width=width)
+    state = {"next": 0.0}
+
+    def on_drain(server) -> None:
+        now = time.perf_counter()
+        if now < state["next"]:
+            return
+        state["next"] = now + min_interval
+        meters = server.last_meters()
+        if not meters:
+            return
+        frame = view.render(meters, now)
+        r = server.stats
+        head = (
+            f"openmeters_tpu serve — {server.config.n_streams} streams, "
+            f"hop {server.engine.config.block_frames}, "
+            f"{r.hops} hops, {r.resets} resets"
+        )
+        sys.stderr.write("\x1b[H\x1b[2J" + head + "\n\n" + frame + "\n")
+        sys.stderr.flush()
+
+    return on_drain

@@ -180,3 +180,34 @@ def test_ingest_benchmark_smoke():
     assert report["pushes_ok"] > 0
     assert report["ingest_realtime_streams"] > 0
     assert report["faults"] == 0
+
+
+def test_serve_on_drain_tui_renders():
+    """on_drain fires at drain cadence and the TUI formats real meters
+    (loudness bars + numbers) from last_meters()."""
+    from openmeters_tpu.tui import TuiView
+
+    server = MeterServer(
+        ServeConfig(n_streams=4, channels=2, engine=tiny_engine(), realtime=False,
+                    fetch="meters", fetch_every=2)
+    )
+    frames = []
+    view = TuiView(stream=0, width=24)
+
+    def on_drain(s):
+        meters = s.last_meters()
+        assert meters
+        frames.append(view.render(meters, now=time.perf_counter()))
+
+    server.on_drain = on_drain
+    feeder = Feeder(server.transport, n_threads=1)
+    try:
+        server.run(1.2)
+    finally:
+        feeder.stop()
+        server.close()
+    assert frames, "on_drain never fired"
+    last = frames[-1]
+    assert "LUFS" in last and "M " in last
+    # a -20ish dBFS tone draws a partially-filled momentary bar
+    assert "█" in last

@@ -359,3 +359,19 @@ def test_waveform_scroll_clock_interpolation():
     # stale (no snapshot within 100 ms) -> snap back to preview progress
     p = clk.progress(0.5, preview_progress=0.35, columns_per_sec=10.0)
     assert p == 0.35
+
+
+def test_tui_bar_primitives():
+    from openmeters_tpu.tui import _bar, _center_bar, _marker_bar
+
+    assert _bar(0.0, -60, 0, 10) == "█" * 10  # full scale
+    assert _bar(-60.0, -60, 0, 10) == " " * 10
+    assert len(_bar(-30.0, -60, 0, 10)) == 10
+    mid = _center_bar(0.0, 20)
+    assert mid[10] == "│" and "█" not in mid
+    pos = _center_bar(0.8, 20)
+    assert "█" in pos[11:] and "█" not in pos[:10]
+    neg = _center_bar(-0.8, 20)
+    assert "█" in neg[:10] and "█" not in neg[11:]
+    held = _marker_bar(-40.0, -10.0, -60, 0, 24)
+    assert "▕" in held  # hold tick above the live level
