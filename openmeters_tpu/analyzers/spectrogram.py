@@ -312,18 +312,10 @@ class SpectrogramAnalyzer:
         w = window_coefficients(cfg.window, cfg.fft_size)
         norm = fft_bin_normalization(w, self.padded_fft)
 
-        from openmeters_tpu.ops.pallas_stft import stft_power_fused, stft_power_enabled
-
-        s, cap, n = frames.shape
-        if cfg.zero_padding_factor == 1 and stft_power_enabled(self.padded_fft):
-            power = stft_power_fused(
-                frames.reshape(s * cap, n), w, norm, self.padded_fft, self.bins
-            ).reshape(s, cap, self.bins)
-        else:
-            mean = jnp.mean(frames, axis=-1, keepdims=True)
-            x = (frames - mean) * w
-            spec = rfft_mxu(x, self.padded_fft)
-            power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * norm
+        mean = jnp.mean(frames, axis=-1, keepdims=True)
+        x = (frames - mean) * w
+        spec = rfft_mxu(x, self.padded_fft)
+        power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * norm
         db = power_to_db(power, DB_FLOOR)
         return ClassicColumns(codes=pack_classic_db(db), valid=valid)
 

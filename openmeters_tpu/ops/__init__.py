@@ -25,4 +25,3 @@ from openmeters_tpu.ops.windowed import BlockWindowedMeans  # noqa: F401
 from openmeters_tpu.ops.truepeak import TruePeakKernel  # noqa: F401
 from openmeters_tpu.ops.framing import FrameBuffer  # noqa: F401
 from openmeters_tpu.ops.fft import fft_mxu, ifft_mxu, irfft_mxu, rfft_mxu  # noqa: F401
-from openmeters_tpu.ops.pallas_stft import stft_power_fused  # noqa: F401
