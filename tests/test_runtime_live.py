@@ -257,6 +257,32 @@ def test_wide_producer_clamped_to_negotiated(runtime):
         c.close()
 
 
+def test_surround_producer_six_channels(tmp_path):
+    """A 5.1 producer on a 6-wide transport delivers every channel into its
+    own lane (the reference's <=8-channel envelope, dsp.rs:6; per-stream
+    format negotiation stream.rs:24-264)."""
+    tp = Transport(n_streams=2, channels=6, block_frames=BLOCK, sample_rate=RATE)
+    sock = str(tmp_path / "om6.sock")
+    rt = SessionRuntime(tp, sock)
+    try:
+        c = ProducerClient(sock, {"app_name": "cinema", "channels": 6})
+        slot = c.connect()
+        assert slot is not None and c.channels == 6
+        try:
+            vals = np.asarray([0.1, 0.2, 0.3, 0.4, 0.5, 0.6], np.float32)
+            c.send_pcm(np.tile(vals[None, :], (BLOCK * 4, 1)), 0)
+            time.sleep(0.1)
+            batch, reset, _, _ = tp.assemble()
+            assert reset[slot]
+            got = np.asarray(batch)[slot]
+            for ch in range(6):
+                assert np.allclose(got[:, ch], vals[ch]), (ch, got[:2])
+        finally:
+            c.close()
+    finally:
+        rt.shutdown()
+
+
 def test_mid_stream_channel_switch_resets_cleanly(runtime):
     """FORMAT stereo->mono mid-stream: old spans keep their layout, new
     payload parses at the new width, one reset lands at the boundary."""
