@@ -17,5 +17,6 @@ from openmeters_tpu.engine.engine import (  # noqa: F401
 from openmeters_tpu.engine.sharding import (  # noqa: F401
     STREAM_AXIS,
     make_mesh,
+    make_multihost_mesh,
     sharded_step,
 )

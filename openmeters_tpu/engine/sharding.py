@@ -15,6 +15,7 @@ Works identically on N real TPU chips and on
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -41,34 +42,109 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devices), (STREAM_AXIS,))
 
 
-def sharded_step(engine, mesh: Mesh, donate_carry: bool = False):
-    """Jit the engine step with explicit stream shardings over ``mesh``.
+def make_multihost_mesh(n_hosts: int, per_host: int) -> Mesh:
+    """2-D ``(dcn, ici)`` mesh: hosts on the outer (DCN) axis, each host's
+    chips on the inner (ICI) axis.
+
+    Streams are embarrassingly parallel, so every stream-indexed array
+    shards its leading dim over *both* axes (``P(("dcn", "ici"), ...)`` via
+    ``sharded_step(..., axis=("dcn", "ici"))``) — pure DP means XLA inserts
+    no collective on either fabric; DCN carries only the host->device feed
+    of each host's own stream shard (SURVEY §5.8).
+    """
+    devices = jax.devices()
+    need = n_hosts * per_host
+    if len(devices) < need:
+        raise ValueError(
+            f"requested a {n_hosts}x{per_host} mesh but only "
+            f"{len(devices)} device(s) are available"
+        )
+    grid = np.asarray(devices[:need]).reshape(n_hosts, per_host)
+    return Mesh(grid, ("dcn", "ici"))
+
+
+def _snapshot_pspecs(engine, axis):
+    """Snapshot PartitionSpecs, derived mechanically: trace the step at two
+    stream counts and mark the dims that scale with ``n_streams`` as the
+    stream dims (covers lane-flattened layouts like the oscilloscope's
+    ``[S * n_trig]`` without per-analyzer annotations)."""
+    from openmeters_tpu.engine.engine import StreamMeta
+
+    def shapes(s):
+        b = engine.config.block_frames
+        c = engine.config.channels
+        carry = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), engine.init(s)
+        )
+        block = jax.ShapeDtypeStruct((s, b, c), jnp.float32)
+        meta = StreamMeta(
+            fold=jax.ShapeDtypeStruct((s, c, 2), jnp.float32),
+            weights=jax.ShapeDtypeStruct((s, c), jnp.float32),
+        )
+        reset = jax.ShapeDtypeStruct((s,), jnp.bool_)
+        _, snaps = jax.eval_shape(engine.step, carry, block, meta, reset)
+        return snaps
+
+    s1, s2 = 8, 16
+    snaps1, snaps2 = shapes(s1), shapes(s2)
+
+    def derive(l1, l2):
+        dims = tuple(
+            axis if d1 != d2 else None for d1, d2 in zip(l1.shape, l2.shape)
+        )
+        n_stream_dims = sum(d is not None for d in dims)
+        assert n_stream_dims <= 1, (
+            f"snapshot leaf {l1.shape}->{l2.shape} scales with n_streams in "
+            f"{n_stream_dims} dims; cannot infer a stream sharding"
+        )
+        return P(*dims)
+
+    return jax.tree.map(derive, snaps1, snaps2)
+
+
+def sharded_step(engine, mesh: Mesh, donate_carry: bool = False, axis=STREAM_AXIS):
+    """Jit the engine step SPMD over ``mesh`` via ``shard_map``.
+
+    Each device runs the full step on its local stream shard, so cross-device
+    traffic is impossible by construction — under plain ``jit`` +
+    ``NamedSharding`` XLA's sharding propagation inserted real collectives
+    (all-to-alls from the rFFT pair-packing reshape coupling adjacent
+    streams across shard boundaries, collective-permutes of the paired
+    spectra, an all-reduce for ``any(reset)``); ``shard_map`` removes them
+    all (asserted on the compiled HLO in ``tests/test_engine.py``).  Scalar
+    re-anchor decisions (``any(reset_mask)`` refresh gates) become
+    shard-local, which only narrows their blast radius.
 
     Returns ``(step_fn, place_carry)``: ``step_fn(carry, block, meta, reset)``
-    with all stream-indexed leaves sharded on ``STREAM_AXIS``; ``place_carry``
-    shards an engine carry pytree onto the mesh.  ``donate_carry`` donates
-    the carry buffers (serving loops update state in place).
+    with all stream-indexed leaves sharded on ``axis`` (an axis name, or a
+    tuple of mesh axes — e.g. ``("dcn", "ici")`` for a multi-host mesh);
+    ``place_carry`` shards an engine carry pytree onto the mesh.
+    ``donate_carry`` donates the carry buffers (serving loops update state
+    in place).  Sharded dims must divide evenly by the mesh size.
     """
-    carry_specs = engine.carry_pspecs(STREAM_AXIS)
+    carry_specs = engine.carry_pspecs(axis)
+    snap_specs = _snapshot_pspecs(engine, axis)
+
+    from openmeters_tpu.engine.engine import StreamMeta
+
+    meta_specs = StreamMeta(fold=P(axis, None, None), weights=P(axis, None))
+    block_spec = P(axis, None, None)
+    reset_spec = P(axis)
+
+    mapped = jax.shard_map(
+        lambda carry, block, meta, reset: engine.step(carry, block, meta, reset),
+        mesh=mesh,
+        in_specs=(carry_specs, block_spec, meta_specs, reset_spec),
+        out_specs=(carry_specs, snap_specs),
+        check_vma=False,  # replicated scalar carries (tick/origin) advance
+        # identically on every shard; vma tracking can't prove it
+    )
+    step = jax.jit(mapped, donate_argnums=(0,) if donate_carry else ())
 
     def shard(spec):
         return NamedSharding(mesh, spec)
 
     carry_sh = jax.tree.map(shard, carry_specs, is_leaf=lambda x: isinstance(x, P))
-    block_sh = shard(P(STREAM_AXIS, None, None))
-    reset_sh = shard(P(STREAM_AXIS))
-
-    from openmeters_tpu.engine.engine import StreamMeta
-
-    meta_shardings = StreamMeta(
-        fold=shard(P(STREAM_AXIS, None, None)), weights=shard(P(STREAM_AXIS, None))
-    )
-
-    step = jax.jit(
-        lambda carry, block, meta, reset: engine.step(carry, block, meta, reset),
-        in_shardings=(carry_sh, block_sh, meta_shardings, reset_sh),
-        donate_argnums=(0,) if donate_carry else (),
-    )
 
     def place_carry(carry):
         return jax.device_put(carry, carry_sh)

@@ -9,6 +9,7 @@ from openmeters_tpu.engine import (
     MeterEngine,
     StreamMeta,
     make_mesh,
+    make_multihost_mesh,
     sharded_step,
 )
 
@@ -102,3 +103,39 @@ def test_sharded_step_on_virtual_mesh():
     codes_sh = np.asarray(snaps["spectrogram"].point_valid)
     codes_1d = np.asarray(snaps2["spectrogram"].point_valid)
     np.testing.assert_array_equal(codes_sh, codes_1d)
+
+
+def test_multihost_mesh_shards_without_collectives():
+    """The multi-host story (SURVEY §5.8): a 2x4 (dcn, ici) mesh with stream
+    arrays sharded over BOTH axes.  Pure DP over independent streams means
+    the compiled step must contain no collective on either fabric — asserted
+    on the optimized HLO, not just claimed."""
+    mesh = make_multihost_mesh(2, 4)
+    assert mesh.devices.shape == (2, 4)
+    eng = MeterEngine(EngineConfig())
+    s, b = 16, 256
+    step, place = sharded_step(eng, mesh, axis=("dcn", "ici"))
+    carry = place(eng.init(s))
+    meta = StreamMeta.default(s)
+    block = np.zeros((s, b, 8), np.float32)
+    for st in range(s):
+        block[st, :, 0] = block[st, :, 1] = sine_wave(
+            100.0 * (st + 1), 48_000.0, b, 0.3
+        )
+    reset = np.zeros((s,), bool)
+
+    compiled = step.lower(carry, block, meta, reset).compile()
+    hlo = compiled.as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute", "all-to-all",
+               "reduce-scatter"):
+        assert op not in hlo, f"unexpected collective in multihost step: {op}"
+
+    carry, snaps = step(carry, block, meta, reset)
+    lufs = np.asarray(snaps["loudness"].momentary_lufs)
+
+    eng2 = MeterEngine(EngineConfig())
+    c2 = eng2.init(s)
+    c2, snaps2 = eng2.step(c2, block, meta, reset)
+    np.testing.assert_allclose(
+        lufs, np.asarray(snaps2["loudness"].momentary_lufs), atol=5e-3
+    )

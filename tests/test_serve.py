@@ -132,28 +132,54 @@ def test_multi_rate_serving_lufs_both_buckets(tmp_path):
         for name, ev in done.items():
             assert ev.wait(timeout=60.0), f"producer {name} did not finish its burst"
         # the pump threads may still be draining the socket: wait for the
-        # buffered audio to land in each bucket's transport
-        deadline = time.monotonic() + 20.0
-        want = {rate: int(0.8 * burst_s * rate) for rate in server.servers}
+        # WHOLE burst to land in each bucket's transport and for the buffer
+        # to go quiescent — pacing while tone is still in socket transit
+        # would let the assembler pass the late frames' timestamps and turn
+        # them into mid-timeline silence gaps inside the momentary window
+        deadline = time.monotonic() + 30.0
+        want = {rate: int(burst_s * rate) for rate in server.servers}
+        last = {rate: -1 for rate in server.servers}
         while time.monotonic() < deadline:
-            if all(
-                srv.transport.buffered_frames(0) >= want[rate]
+            now = {
+                rate: srv.transport.buffered_frames(0)
                 for rate, srv in server.servers.items()
-            ):
+            }
+            if all(now[r] >= want[r] and now[r] == last[r] for r in now):
                 break
-            time.sleep(0.02)
+            last = now
+            time.sleep(0.05)
         for rate, srv in server.servers.items():
             buffered = srv.transport.buffered_frames(0)
             assert buffered >= want[rate], (rate, buffered)
-        # exercise the paced serving loop briefly, then drain what remains
+        # Track the PEAK momentary per bucket at display cadence via
+        # on_drain: the paced loop coalesces the past-timestamped backlog to
+        # catch up to the realtime edge (meter.rs backlog semantics), then
+        # the idle watchdog synthesizes silence for the live-but-silent
+        # producers — so the FINAL reading always ends on a wall-clock-
+        # dependent amount of silence, while the peak (a fully-tone-filled
+        # 0.4 s window, >=0.5 s of timeline) is deterministic.
+        peaks = {rate: {} for rate in server.servers}
+
+        def track(rate):
+            def cb(srv):
+                m = srv.last_meters()
+                if m:
+                    key = next(k for k in m if "momentary" in k)
+                    vals = np.asarray(m[key], np.float64)
+                    for slot, v in enumerate(vals):
+                        peaks[rate][slot] = max(peaks[rate].get(slot, -np.inf), v)
+            return cb
+
+        for rate, srv in server.servers.items():
+            srv.on_drain = track(rate)
+        # exercise the paced serving loop (it drains the whole burst by
+        # coalescing), then sweep any remainder
         server.run(0.3)
         for srv in server.servers.values():
             blk = srv.engine.config.block_frames
             while srv.transport.buffered_frames(0) >= blk:
                 srv.advance()
-        meters_by_rate = {
-            rate: srv.fetch_meters_now() for rate, srv in server.servers.items()
-        }
+            assert srv.fetch_meters_now() is not None
         view = server.runtime.view()  # while both producers are still live
     finally:
         stop.set()
@@ -165,14 +191,11 @@ def test_multi_rate_serving_lufs_both_buckets(tmp_path):
     assert set(reports) == {44_100.0, 48_000.0}
     assert view["rates"][44_100.0]["active"] == 1
     assert view["rates"][48_000.0]["active"] == 1
-    # -6 dBFS stereo sine -> momentary about -6.0 LUFS in BOTH buckets
+    # -6 dBFS stereo sine -> peak momentary about -6.0 LUFS in BOTH buckets
     for rate, srv_rate in ((44_100.0, "p44"), (48_000.0, "p48")):
-        meters = meters_by_rate[rate]
-        assert meters is not None
-        key = next(k for k in meters if "momentary" in k)
         slot = view["links"][f"app.name:{srv_rate}"]["slot"]
-        lufs = float(meters[key][slot])
-        assert abs(lufs + 6.0) < 0.5, (rate, lufs)
+        lufs = peaks[rate].get(slot, -np.inf)
+        assert abs(lufs + 6.0) < 0.5, (rate, lufs, peaks)
 
 
 def test_ingest_benchmark_smoke():
