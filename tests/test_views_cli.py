@@ -130,6 +130,57 @@ def test_checkpoint_roundtrip(tmp_path):
         load_state(str(p), other)
 
 
+def test_checkpoint_migrates_across_mesh_sizes(tmp_path):
+    """The checkpoint's stated purpose: migrate streams across chips.  Save
+    a carry advanced on an 8-device mesh, restore it onto a 4-device mesh,
+    and continue — results match the original topology."""
+    from openmeters_tpu.analyzers.spectrogram import SpectrogramConfig
+    from openmeters_tpu.checkpoint import load_state, save_state
+    from openmeters_tpu.engine import (
+        EngineConfig,
+        MeterEngine,
+        StreamMeta,
+        make_mesh,
+        sharded_step,
+    )
+
+    cfg = EngineConfig(
+        spectrogram=SpectrogramConfig(
+            fft_size=256, hop_size=64, use_reassignment=False
+        ),
+        spectrum=None,
+        oscilloscope=None, stereometer=None, waveform=None,
+    )
+    eng = MeterEngine(cfg)
+    s = 8
+    step8, place8 = sharded_step(eng, make_mesh(8))
+    carry = place8(eng.init(s))
+    meta = StreamMeta.default(s)
+    sig = sine_wave(440.0, 48_000.0, 256 * 4, 0.5)
+    block = np.zeros((s, 256, 8), np.float32)
+    reset = np.zeros((s,), bool)
+    for i in range(4):
+        block[:, :, 0] = block[:, :, 1] = sig[i * 256 : (i + 1) * 256]
+        carry, _ = step8(carry, block, meta, reset)
+
+    p = tmp_path / "mesh8.npz"
+    save_state(str(p), eng, carry)
+
+    step4, place4 = sharded_step(eng, make_mesh(4))
+    restored = place4(load_state(str(p), eng))
+    _, s_old = step8(carry, block, meta, reset)
+    _, s_new = step4(restored, block, meta, reset)
+    np.testing.assert_allclose(
+        np.asarray(s_old["loudness"].short_term_lufs),
+        np.asarray(s_new["loudness"].short_term_lufs),
+        atol=5e-3,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_old["spectrogram"].codes),
+        np.asarray(s_new["spectrogram"].codes),
+    )
+
+
 def test_checkpoint_loudness_only(tmp_path):
     """A loudness-only engine has no 1-D int carry leaf; n_streams now rides
     in the checkpoint metadata so this config restores too."""
