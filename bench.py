@@ -186,12 +186,9 @@ def main():
     skip_extras = os.environ.get("OPENMETERS_BENCH_HEADLINE_ONLY")
     if not skip_extras:
         eng_r = build_reassigned_engine()
-        best_r = None
         for n in (4096, 6144, 8192):
             r = measure(eng_r, n, iters=32)
             _report("reassigned-2048/64", r)
-            if r["realtime"] and (best_r is None or n > best_r):
-                best_r = n
             if not r["realtime"]:
                 break
         eng = build_full_engine()

@@ -152,8 +152,11 @@ def cmd_serve(args) -> int:
 def cmd_render(args) -> int:
     """Analyze a WAV and rasterize the final snapshot of every active
     visual to PNG files (the headless render pipeline, render.py)."""
-    from openmeters_tpu.api import analyze_wav
+    import dataclasses
+
+    from openmeters_tpu.api import analyze
     from openmeters_tpu.engine import EngineConfig
+    from openmeters_tpu.io.wav import read_wav
     from openmeters_tpu.persistence import SettingsHandle
     from openmeters_tpu.render import render_series
 
@@ -162,7 +165,11 @@ def cmd_render(args) -> int:
         if args.settings
         else EngineConfig()
     )
-    snaps = analyze_wav(args.wav, cfg)
+    samples, rate = read_wav(args.wav)
+    # the engine analyzes at the WAV's native rate (api.analyze re-rates the
+    # config the same way); the renderer must map bins->Hz with that rate too
+    cfg = dataclasses.replace(cfg, sample_rate=rate)
+    snaps = analyze(samples, rate, cfg)
     if not snaps:
         print("no complete hops in input", file=sys.stderr)
         return 1

@@ -117,6 +117,15 @@ class SessionRuntime:
             if max_channels is not None
             else max(tp.channels for tp, _ in self._buckets.values())
         )
+        # the wire-level clamp bound must be RATE-INVARIANT: a mid-stream
+        # FORMAT rate change re-routes the link to another bucket, and the
+        # client mirrors the clamp with the bound it got at HELLO time — a
+        # per-bucket bound would desync the framed payload width when
+        # buckets have different transport channel counts
+        self._wire_max_channels = min(
+            self._max_channels,
+            min(tp.channels for tp, _ in self._buckets.values()),
+        )
         self._lock = threading.Lock()  # directories + stats only, not PCM
         self._stats: OrderedDict[str, dict] = OrderedDict()
         self._stats_limit = 4 * sum(tp.n_streams for tp, _ in self._buckets.values()) + 64
@@ -153,9 +162,11 @@ class SessionRuntime:
             t = threading.Thread(target=self._serve, args=(conn,), daemon=True)
             t.start()
             # reap finished pump threads so a long-lived session with
-            # reconnect churn doesn't accumulate handles
-            self._threads = [x for x in self._threads if x.is_alive()]
-            self._threads.append(t)
+            # reconnect churn doesn't accumulate handles (under the lock:
+            # shutdown() snapshots this list concurrently)
+            with self._lock:
+                self._threads = [x for x in self._threads if x.is_alive()]
+                self._threads.append(t)
 
     def _note_stats(self, key: str, **updates):
         """Bounded per-identity link stats (locked by caller)."""
@@ -198,7 +209,9 @@ class SessionRuntime:
                 node_name=props.get("node_name"),
             )
             key = identity.key
-            channels = min(max(int(props.get("channels", 2)), 1), self._max_channels)
+            channels = min(
+                max(int(props.get("channels", 2)), 1), self._wire_max_channels
+            )
             rate = float(props.get("sample_rate", self._default_rate))
             bucket = self._buckets.get(rate)
             if bucket is None:
@@ -208,7 +221,6 @@ class SessionRuntime:
                 )
                 return
             tp, directory = bucket
-            channels = min(channels, tp.channels)
 
             with self._lock:
                 if key in self._owner:
@@ -240,8 +252,9 @@ class SessionRuntime:
                         "channels": channels,
                         "sample_rate": rate,
                         # the clamp bound, so the client can mirror the
-                        # server's FORMAT negotiation exactly
-                        "max_channels": min(self._max_channels, tp.channels),
+                        # server's FORMAT negotiation exactly; rate-invariant
+                        # so rate re-routing can't desync the payload width
+                        "max_channels": self._wire_max_channels,
                     }
                 ).encode()
                 + b"\n"
@@ -267,7 +280,7 @@ class SessionRuntime:
                 elif kind == MSG_FAULT:
                     tp.push_fault(slot)
                 elif kind == MSG_FORMAT:
-                    channels = min(max(int(frames), 1), self._max_channels)
+                    channels = min(max(int(frames), 1), self._wire_max_channels)
                     new_rate = float(ts_ns) if ts_ns > 0 else rate
                     if new_rate != rate:
                         # rate change re-routes to the new rate's bucket
@@ -288,7 +301,6 @@ class SessionRuntime:
                             slot = new_slot
                             rate = new_rate
                             self._note_stats(key, slot=slot, sample_rate=rate)
-                    channels = min(channels, tp.channels)
                     with self._lock:
                         gen = self._next_generation(rate, slot)
                         self._note_stats(key, channels=channels)
@@ -341,7 +353,12 @@ class SessionRuntime:
         try:
             self._listener.close()
         finally:
-            for t in self._threads:
+            # the acceptor exits on listener close/stop; joining it FIRST
+            # guarantees no new pump thread appears after the snapshot below
+            self._acceptor.join(timeout=2.0)
+            with self._lock:
+                threads = list(self._threads)
+            for t in threads:
                 if t.is_alive():
                     t.join(timeout=2.0)
             if os.path.exists(self._path):

@@ -156,6 +156,10 @@ class Transport:
         self._batch = np.zeros((n_streams, block_frames, channels), np.float32)
         self._reset = np.zeros((n_streams,), np.uint8)
         self._underrun = np.zeros((n_streams,), np.uint8)
+        # host-side mirror of each stream's negotiated width so the hot
+        # push path validates without an FFI round-trip per push; writes
+        # happen on the stream's own producer thread (set_channels contract)
+        self._stream_channels = np.full((n_streams,), channels, np.int32)
 
     def __del__(self):
         if getattr(self, "_h", None):
@@ -173,7 +177,7 @@ class Transport:
         samples = np.ascontiguousarray(samples, np.float32)
         if samples.ndim != 2:
             raise ValueError(f"expected [frames, channels], got {samples.shape}")
-        expect = self.stream_channels(stream)
+        expect = int(self._stream_channels[stream])
         if samples.shape[1] != expect:
             raise ValueError(
                 f"stream {stream} expects {expect} channels, got {samples.shape[1]}"
@@ -207,6 +211,7 @@ class Transport:
         """Renegotiate a stream's channel layout (stream.rs:24-264).  Call
         from the stream's producer thread, paired with a generation bump."""
         self._lib.om_set_channels(self._h, stream, channels)
+        self._stream_channels[stream] = channels
 
     def stream_channels(self, stream: int) -> int:
         return self._lib.om_stream_channels(self._h, stream)

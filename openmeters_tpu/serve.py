@@ -73,19 +73,23 @@ def _meter_leaf_mask(snaps, n_streams: int):
 
 
 def _make_packer(mask):
-    """One jitted concat of the selected leaves into a single f32 vector —
-    the host fetch is then ONE transfer instead of one round-trip per leaf
-    (the tunnel's per-transfer latency dominates otherwise)."""
+    """``(pick, pack)``: ``pick`` selects the meter leaves (plain reference
+    picking — holding them does NOT retain the bulk snapshot leaves in
+    device memory), ``pack`` is one jitted concat of those leaves into a
+    single f32 vector — the host fetch is then ONE transfer instead of one
+    round-trip per leaf (the tunnel's per-transfer latency dominates
+    otherwise)."""
     import jax
     import jax.numpy as jnp
 
+    def pick(snaps):
+        return [l for l, m in zip(jax.tree.leaves(snaps), mask) if m]
+
     @jax.jit
-    def pack(snaps):
-        leaves = jax.tree.leaves(snaps)
-        picked = [l for l, m in zip(leaves, mask) if m]
+    def pack(picked):
         return jnp.concatenate([l.astype(jnp.float32).ravel() for l in picked])
 
-    return pack
+    return pick, pack
 
 
 class MeterServer:
@@ -192,7 +196,8 @@ class MeterServer:
             if config.fetch == "full"
             else self._meter_mask
         )
-        self._pack = _make_packer(picked)
+        self._pick, self._pack_leaves = _make_packer(picked)
+        self._pack = lambda snaps: self._pack_leaves(self._pick(snaps))
         # names/shapes of the packed leaves so consumers can unpack the
         # fetched vector back into labeled meters (last_meters())
         paths, _ = jax.tree_util.tree_flatten_with_path(warm_snaps)
@@ -256,7 +261,11 @@ class MeterServer:
             )
         dev_batch = jax.device_put(batch)
         self.carry, snaps = self._step(self.carry, dev_batch, self.meta, dev_reset)
-        self._dev_snaps = snaps  # device handle only; no host transfer
+        # retain only the small meter leaves for fetch_meters_now — keeping
+        # the whole snapshot pytree would pin the bulk leaves (spectrogram
+        # codes, trace buffers: ~100s of MB at high stream counts) in device
+        # memory between steps
+        self._dev_meters = self._pick(snaps)
         # display-rate drain: pack+fetch every fetch_every-th hop (one
         # transfer); other hops stay on device (their state lives on in the
         # carry; the snapshot handle is simply dropped)
@@ -317,10 +326,10 @@ class MeterServer:
     def fetch_meters_now(self) -> dict[str, np.ndarray] | None:
         """Synchronously fetch the newest on-device snapshot's meter leaves
         (bypasses the display-rate drain cadence — for tests/controllers)."""
-        snaps = getattr(self, "_dev_snaps", None)
-        if snaps is None:
+        picked = getattr(self, "_dev_meters", None)
+        if picked is None:
             return None
-        self.last_snapshot = np.asarray(self._pack(snaps))
+        self.last_snapshot = np.asarray(self._pack_leaves(picked))
         return self.last_meters()
 
     def last_meters(self) -> dict[str, np.ndarray] | None:

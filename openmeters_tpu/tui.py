@@ -69,9 +69,11 @@ def _pick(meters: dict, part: str):
 class TuiView:
     """Stateful display: ballistics across frames for one stream."""
 
-    def __init__(self, stream: int = 0, width: int = 40):
+    def __init__(self, stream: int = 0, width: int = 40,
+                 sample_rate: float = 48_000.0):
         self.stream = int(stream)
         self.width = int(width)
+        self.sample_rate = float(sample_rate)
         self._tp_hold = PeakHold.new((1,), floor_db=-60.0)
         self._trail = CorrelationTrail()
 
@@ -105,7 +107,7 @@ class TuiView:
             lines.append(f"C  {_center_bar(corr[0], w)} {corr[0]:+7.2f}")
         per = val("period")
         if per is not None and per[0] > 0:
-            f0 = 48_000.0 / float(per[0])
+            f0 = self.sample_rate / float(per[0])
             lines.append(f"f0 {f0:7.1f} Hz")
         return "\n".join(lines)
 
@@ -125,6 +127,7 @@ def serve_tui_callback(stream: int = 0, width: int = 40, min_interval: float = 1
         if now < state["next"]:
             return
         state["next"] = now + min_interval
+        view.sample_rate = float(server.engine.config.sample_rate)
         meters = server.last_meters()
         if not meters:
             return

@@ -257,6 +257,49 @@ def test_wide_producer_clamped_to_negotiated(runtime):
         c.close()
 
 
+def test_rate_switch_between_heterogeneous_width_buckets(tmp_path):
+    """A FORMAT rate change re-routes the link to another bucket; with
+    buckets of different transport widths the channel clamp must be
+    rate-invariant (the client mirrors the HELLO-time bound) or the framed
+    payload width desyncs."""
+    tp2 = Transport(n_streams=2, channels=2, block_frames=BLOCK, sample_rate=RATE)
+    tp6 = Transport(
+        n_streams=2, channels=6, block_frames=BLOCK, sample_rate=44_100.0
+    )
+    sock = str(tmp_path / "hetero.sock")
+    rt = SessionRuntime({RATE: tp2, 44_100.0: tp6}, sock)
+    try:
+        # announce 6 channels at the 6-wide 44.1k bucket: the negotiated
+        # bound is min over ALL buckets (2), so a later move to the 2-wide
+        # bucket cannot desync
+        c = ProducerClient(sock, {"app_name": "roam", "channels": 6,
+                                  "sample_rate": 44_100.0})
+        slot = c.connect()
+        assert slot is not None
+        assert c.max_channels == 2 and c.channels == 2
+        pcm = np.tile(np.asarray([[0.25, -0.25]], np.float32), (BLOCK * 4, 1))
+        c.send_pcm(pcm, 0)
+        time.sleep(0.1)
+        got = np.asarray(tp6.assemble()[0])[slot]
+        assert np.allclose(got[:, 0], 0.25) and np.allclose(got[:, 1], -0.25)
+        assert np.allclose(got[:, 2:], 0.0)  # padded lanes of the wide bucket
+
+        c.send_format(2, sample_rate=RATE)  # re-route to the 2-wide bucket
+        assert c.channels == 2
+        c.send_pcm(pcm, int(BLOCK * 4 / 44_100.0 * 1e9))
+        time.sleep(0.1)
+        deadline = time.monotonic() + 5.0
+        filled = 0
+        while time.monotonic() < deadline and filled < BLOCK:
+            batch, _, _, _ = tp2.assemble()
+            got2 = np.asarray(batch)[0]
+            filled += int(np.count_nonzero(got2[:, 0] == 0.25))
+            time.sleep(0.004)
+        assert filled >= BLOCK  # audio parses intact at the new rate
+    finally:
+        rt.shutdown()
+
+
 def test_surround_producer_six_channels(tmp_path):
     """A 5.1 producer on a 6-wide transport delivers every channel into its
     own lane (the reference's <=8-channel envelope, dsp.rs:6; per-stream
