@@ -227,6 +227,33 @@ def test_cli_selftest_and_analyze(tmp_path, capsys):
     assert settings.exists()
 
 
+def test_cli_render_uses_wav_native_rate(tmp_path, monkeypatch, capsys):
+    """`render` must rasterize with the WAV's native rate — the engine
+    analyzes at it (api.analyze re-rates the config), so rendering with the
+    config's 48 kHz default would mislabel every frequency by rate/48000."""
+    import openmeters_tpu.__main__ as cli
+    from openmeters_tpu.io.wav import write_wav
+
+    rate = 44_100.0
+    tone = sine_wave(997.0, rate, int(rate * 0.5), 0.4)
+    wav = tmp_path / "t44.wav"
+    write_wav(str(wav), np.stack([tone, tone], -1), rate)
+
+    seen = {}
+    import openmeters_tpu.render as render_mod
+
+    real = render_mod.render_series
+
+    def spy(series, config, out_dir, **kw):
+        seen["rate"] = config.sample_rate
+        return real(series, config, out_dir, **kw)
+
+    monkeypatch.setattr(render_mod, "render_series", spy)
+    assert cli.main(["render", str(wav), str(tmp_path / "out")]) == 0
+    assert seen["rate"] == rate
+    assert (tmp_path / "out" / "spectrum.png").exists()
+
+
 def test_cli_serve_socket_sessions(tmp_path, capsys):
     """`serve --socket --rates` runs the session runtime end-to-end: a
     producer connects mid-run, its link shows in the report."""
