@@ -136,8 +136,9 @@ def sharded_step(engine, mesh: Mesh, donate_carry: bool = False, axis=STREAM_AXI
         mesh=mesh,
         in_specs=(carry_specs, block_spec, meta_specs, reset_spec),
         out_specs=(carry_specs, snap_specs),
-        check_vma=False,  # replicated scalar carries (tick/origin) advance
-        # identically on every shard; vma tracking can't prove it
+        check_vma=True,  # varying-mesh-axes tracking statically proves the
+        # replicated scalar carries (tick/origin) stay replicated and that
+        # no per-stream value leaks into a P() output
     )
     step = jax.jit(mapped, donate_argnums=(0,) if donate_carry else ())
 
