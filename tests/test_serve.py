@@ -38,6 +38,30 @@ def test_serve_end_to_end_with_feeder():
     assert server.last_snapshot is not None and server.last_snapshot.size > 0
 
 
+def test_serve_sharded_over_mesh_with_donation():
+    """The production path: MeterServer on an 8-device mesh — shard_map
+    step with donated carries, feed, drain, and meter fetch end to end."""
+    from openmeters_tpu.engine import make_mesh
+
+    server = MeterServer(
+        ServeConfig(n_streams=8, channels=2, engine=tiny_engine(),
+                    realtime=False, fetch="meters", fetch_every=2),
+        mesh=make_mesh(),
+    )
+    feeder = Feeder(server.transport, n_threads=1)
+    try:
+        report = server.run(1.5)
+    finally:
+        ok, _ = feeder.stop()
+        server.close()
+    assert report["hops"] > 8 and ok > 0
+    meters = server.last_meters()
+    assert meters is not None
+    key = next(k for k in meters if "momentary" in k)
+    assert np.asarray(meters[key]).shape[0] == 8
+    assert np.all(np.isfinite(np.asarray(meters[key])))
+
+
 def test_serve_scan_hops_mode():
     server = MeterServer(
         ServeConfig(n_streams=4, channels=2, engine=tiny_engine(), realtime=True,
