@@ -141,7 +141,47 @@ def sharded_step(engine, mesh: Mesh, donate_carry: bool = False, axis=STREAM_AXI
         # no per-stream value leaks into a P() output
     )
     step = jax.jit(mapped, donate_argnums=(0,) if donate_carry else ())
+    return step, _placer(mesh, carry_specs)
 
+
+def sharded_scan_step(engine, mesh: Mesh, scan_hops: int,
+                      donate_carry: bool = False, axis=STREAM_AXIS):
+    """K-hop fused dispatch over the mesh: ``step(carry, blocks[K, S, B, C],
+    meta, resets[K, S])`` runs K engine hops in one on-device scan — the
+    first K-1 snapshots are discarded (XLA dead-code-eliminates their
+    compute), the final hop's snapshot is returned.  This is ``serve.py``'s
+    ``--scan-hops`` dispatch-amortization mode with the same shard_map
+    zero-collective guarantee as :func:`sharded_step`."""
+    carry_specs = engine.carry_pspecs(axis)
+    snap_specs = _snapshot_pspecs(engine, axis)
+
+    from openmeters_tpu.engine.engine import StreamMeta
+
+    meta_specs = StreamMeta(fold=P(axis, None, None), weights=P(axis, None))
+    blocks_spec = P(None, axis, None, None)
+    resets_spec = P(None, axis)
+
+    def scan_fn(carry, blocks, meta, resets):
+        def body(c, xr):
+            blk, rst = xr
+            c, _ = engine.step(c, blk, meta, rst)
+            return c, None
+
+        carry, _ = jax.lax.scan(body, carry, (blocks[:-1], resets[:-1]))
+        return engine.step(carry, blocks[-1], meta, resets[-1])
+
+    mapped = jax.shard_map(
+        scan_fn,
+        mesh=mesh,
+        in_specs=(carry_specs, blocks_spec, meta_specs, resets_spec),
+        out_specs=(carry_specs, snap_specs),
+        check_vma=True,
+    )
+    step = jax.jit(mapped, donate_argnums=(0,) if donate_carry else ())
+    return step, _placer(mesh, carry_specs)
+
+
+def _placer(mesh: Mesh, carry_specs):
     def shard(spec):
         return NamedSharding(mesh, spec)
 
@@ -150,4 +190,4 @@ def sharded_step(engine, mesh: Mesh, donate_carry: bool = False, axis=STREAM_AXI
     def place_carry(carry):
         return jax.device_put(carry, carry_sh)
 
-    return step, place_carry
+    return place_carry

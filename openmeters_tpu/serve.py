@@ -121,35 +121,42 @@ class MeterServer:
 
         if mesh is not None:
             from openmeters_tpu.engine import sharded_step
+            from openmeters_tpu.engine.sharding import sharded_scan_step
 
-            self._step, self._place = sharded_step(
-                self.engine, mesh, donate_carry=True
-            )
-        else:
-            self._step = jax.jit(
-                lambda c, b, m, r: self.engine.step(c, b, m, r),
-                donate_argnums=0,
-            )
-            self._place = lambda c: c
-        if config.scan_hops > 1:
-            engine = self.engine
-
-            def scan_fn(carry, blocks, meta, resets):
-                # K-1 hops with snapshots discarded (XLA DCEs their
-                # compute), then one hop whose snapshot is the fetchable
-                def body(c, xr):
-                    blk, rst = xr
-                    c, _ = engine.step(c, blk, meta, rst)
-                    return c, None
-
-                import jax as _jax
-
-                carry, _ = _jax.lax.scan(
-                    body, carry, (blocks[:-1], resets[:-1])
+            if config.scan_hops > 1:
+                self._step, self._place = sharded_scan_step(
+                    self.engine, mesh, config.scan_hops, donate_carry=True
                 )
-                return engine.step(carry, blocks[-1], meta, resets[-1])
+            else:
+                self._step, self._place = sharded_step(
+                    self.engine, mesh, donate_carry=True
+                )
+        else:
+            self._place = lambda c: c
+            if config.scan_hops > 1:
+                engine = self.engine
 
-            self._step = jax.jit(scan_fn, donate_argnums=0)
+                def scan_fn(carry, blocks, meta, resets):
+                    # K-1 hops with snapshots discarded (XLA DCEs their
+                    # compute), then one hop whose snapshot is the fetchable
+                    def body(c, xr):
+                        blk, rst = xr
+                        c, _ = engine.step(c, blk, meta, rst)
+                        return c, None
+
+                    import jax as _jax
+
+                    carry, _ = _jax.lax.scan(
+                        body, carry, (blocks[:-1], resets[:-1])
+                    )
+                    return engine.step(carry, blocks[-1], meta, resets[-1])
+
+                self._step = jax.jit(scan_fn, donate_argnums=0)
+            else:
+                self._step = jax.jit(
+                    lambda c, b, m, r: self.engine.step(c, b, m, r),
+                    donate_argnums=0,
+                )
         self.carry = self._place(self.engine.init(config.n_streams))
         k, s, b = config.scan_hops, config.n_streams, ecfg.block_frames
         if k > 1:

@@ -62,6 +62,29 @@ def test_serve_sharded_over_mesh_with_donation():
     assert np.all(np.isfinite(np.asarray(meters[key])))
 
 
+def test_serve_sharded_scan_hops_mode():
+    """scan_hops dispatch amortization composed with the mesh: the K-hop
+    scan runs under shard_map (previously the mesh was silently dropped)."""
+    from openmeters_tpu.engine import make_mesh
+
+    server = MeterServer(
+        ServeConfig(n_streams=8, channels=2, engine=tiny_engine(),
+                    realtime=False, scan_hops=4, fetch_every=8),
+        mesh=make_mesh(),
+    )
+    feeder = Feeder(server.transport, n_threads=1)
+    try:
+        report = server.run(1.5)
+    finally:
+        feeder.stop()
+        server.close()
+    assert report["hops"] >= 8 and report["hops"] % 4 == 0
+    meters = server.last_meters()
+    assert meters is not None
+    key = next(k for k in meters if "momentary" in k)
+    assert np.all(np.isfinite(np.asarray(meters[key])))
+
+
 def test_serve_scan_hops_mode():
     server = MeterServer(
         ServeConfig(n_streams=4, channels=2, engine=tiny_engine(), realtime=True,
