@@ -144,12 +144,28 @@ def sharded_step(engine, mesh: Mesh, donate_carry: bool = False, axis=STREAM_AXI
     return step, _placer(mesh, carry_specs)
 
 
+def scan_last_snapshot_fn(engine):
+    """``fn(carry, blocks[K, S, B, C], meta, resets[K, S])``: K engine hops
+    in one on-device scan — the first K-1 snapshots are discarded (XLA
+    dead-code-eliminates their compute), the final hop's snapshot is
+    returned.  Shared by ``serve.py``'s unsharded ``--scan-hops`` mode and
+    :func:`sharded_scan_step`."""
+
+    def scan_fn(carry, blocks, meta, resets):
+        def body(c, xr):
+            blk, rst = xr
+            c, _ = engine.step(c, blk, meta, rst)
+            return c, None
+
+        carry, _ = jax.lax.scan(body, carry, (blocks[:-1], resets[:-1]))
+        return engine.step(carry, blocks[-1], meta, resets[-1])
+
+    return scan_fn
+
+
 def sharded_scan_step(engine, mesh: Mesh, scan_hops: int,
                       donate_carry: bool = False, axis=STREAM_AXIS):
-    """K-hop fused dispatch over the mesh: ``step(carry, blocks[K, S, B, C],
-    meta, resets[K, S])`` runs K engine hops in one on-device scan — the
-    first K-1 snapshots are discarded (XLA dead-code-eliminates their
-    compute), the final hop's snapshot is returned.  This is ``serve.py``'s
+    """:func:`scan_last_snapshot_fn` over the mesh — ``serve.py``'s
     ``--scan-hops`` dispatch-amortization mode with the same shard_map
     zero-collective guarantee as :func:`sharded_step`."""
     carry_specs = engine.carry_pspecs(axis)
@@ -160,15 +176,11 @@ def sharded_scan_step(engine, mesh: Mesh, scan_hops: int,
     meta_specs = StreamMeta(fold=P(axis, None, None), weights=P(axis, None))
     blocks_spec = P(None, axis, None, None)
     resets_spec = P(None, axis)
+    inner = scan_last_snapshot_fn(engine)
 
     def scan_fn(carry, blocks, meta, resets):
-        def body(c, xr):
-            blk, rst = xr
-            c, _ = engine.step(c, blk, meta, rst)
-            return c, None
-
-        carry, _ = jax.lax.scan(body, carry, (blocks[:-1], resets[:-1]))
-        return engine.step(carry, blocks[-1], meta, resets[-1])
+        assert blocks.shape[0] == scan_hops, (blocks.shape, scan_hops)
+        return inner(carry, blocks, meta, resets)
 
     mapped = jax.shard_map(
         scan_fn,

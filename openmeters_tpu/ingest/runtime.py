@@ -117,15 +117,6 @@ class SessionRuntime:
             if max_channels is not None
             else max(tp.channels for tp, _ in self._buckets.values())
         )
-        # the wire-level clamp bound must be RATE-INVARIANT: a mid-stream
-        # FORMAT rate change re-routes the link to another bucket, and the
-        # client mirrors the clamp with the bound it got at HELLO time — a
-        # per-bucket bound would desync the framed payload width when
-        # buckets have different transport channel counts
-        self._wire_max_channels = min(
-            self._max_channels,
-            min(tp.channels for tp, _ in self._buckets.values()),
-        )
         self._lock = threading.Lock()  # directories + stats only, not PCM
         self._stats: OrderedDict[str, dict] = OrderedDict()
         self._stats_limit = 4 * sum(tp.n_streams for tp, _ in self._buckets.values()) + 64
@@ -209,9 +200,6 @@ class SessionRuntime:
                 node_name=props.get("node_name"),
             )
             key = identity.key
-            channels = min(
-                max(int(props.get("channels", 2)), 1), self._wire_max_channels
-            )
             rate = float(props.get("sample_rate", self._default_rate))
             bucket = self._buckets.get(rate)
             if bucket is None:
@@ -221,6 +209,12 @@ class SessionRuntime:
                 )
                 return
             tp, directory = bucket
+            # the clamp bound is fixed at HELLO time (the client mirrors it
+            # for the whole link); a FORMAT rate re-route to a bucket too
+            # narrow for the negotiated width drops the link instead of
+            # desyncing — the client reconnects and renegotiates at HELLO
+            wire_max = min(self._max_channels, tp.channels)
+            channels = min(max(int(props.get("channels", 2)), 1), wire_max)
 
             with self._lock:
                 if key in self._owner:
@@ -252,9 +246,10 @@ class SessionRuntime:
                         "channels": channels,
                         "sample_rate": rate,
                         # the clamp bound, so the client can mirror the
-                        # server's FORMAT negotiation exactly; rate-invariant
-                        # so rate re-routing can't desync the payload width
-                        "max_channels": self._wire_max_channels,
+                        # server's FORMAT negotiation exactly for the whole
+                        # link (rate re-routes that can't honor it drop the
+                        # link rather than desync)
+                        "max_channels": wire_max,
                     }
                 ).encode()
                 + b"\n"
@@ -280,7 +275,7 @@ class SessionRuntime:
                 elif kind == MSG_FAULT:
                     tp.push_fault(slot)
                 elif kind == MSG_FORMAT:
-                    channels = min(max(int(frames), 1), self._wire_max_channels)
+                    channels = min(max(int(frames), 1), wire_max)
                     new_rate = float(ts_ns) if ts_ns > 0 else rate
                     if new_rate != rate:
                         # rate change re-routes to the new rate's bucket
@@ -301,6 +296,11 @@ class SessionRuntime:
                             slot = new_slot
                             rate = new_rate
                             self._note_stats(key, slot=slot, sample_rate=rate)
+                        if channels > tp.channels:
+                            # the new bucket is too narrow for the width the
+                            # client negotiated at HELLO: drop the link (the
+                            # client's backoff reconnect renegotiates fresh)
+                            break
                     with self._lock:
                         gen = self._next_generation(rate, slot)
                         self._note_stats(key, channels=channels)

@@ -211,7 +211,9 @@ class Transport:
         """Renegotiate a stream's channel layout (stream.rs:24-264).  Call
         from the stream's producer thread, paired with a generation bump."""
         self._lib.om_set_channels(self._h, stream, channels)
-        self._stream_channels[stream] = channels
+        # mirror the native clamp exactly (om_set_channels: [1, 64]) so the
+        # push-path guard can never diverge from the width the ring uses
+        self._stream_channels[stream] = min(max(int(channels), 1), 64)
 
     def stream_channels(self, stream: int) -> int:
         return self._lib.om_stream_channels(self._h, stream)

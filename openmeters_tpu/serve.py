@@ -134,24 +134,11 @@ class MeterServer:
         else:
             self._place = lambda c: c
             if config.scan_hops > 1:
-                engine = self.engine
+                from openmeters_tpu.engine.sharding import scan_last_snapshot_fn
 
-                def scan_fn(carry, blocks, meta, resets):
-                    # K-1 hops with snapshots discarded (XLA DCEs their
-                    # compute), then one hop whose snapshot is the fetchable
-                    def body(c, xr):
-                        blk, rst = xr
-                        c, _ = engine.step(c, blk, meta, rst)
-                        return c, None
-
-                    import jax as _jax
-
-                    carry, _ = _jax.lax.scan(
-                        body, carry, (blocks[:-1], resets[:-1])
-                    )
-                    return engine.step(carry, blocks[-1], meta, resets[-1])
-
-                self._step = jax.jit(scan_fn, donate_argnums=0)
+                self._step = jax.jit(
+                    scan_last_snapshot_fn(self.engine), donate_argnums=0
+                )
             else:
                 self._step = jax.jit(
                     lambda c, b, m, r: self.engine.step(c, b, m, r),
@@ -204,7 +191,6 @@ class MeterServer:
             else self._meter_mask
         )
         self._pick, self._pack_leaves = _make_packer(picked)
-        self._pack = lambda snaps: self._pack_leaves(self._pick(snaps))
         # names/shapes of the packed leaves so consumers can unpack the
         # fetched vector back into labeled meters (last_meters())
         paths, _ = jax.tree_util.tree_flatten_with_path(warm_snaps)
@@ -215,7 +201,7 @@ class MeterServer:
         ]
         # synchronize via a value fetch: on tunneled backends
         # block_until_ready can return before compilation finishes
-        np.asarray(self._pack(warm_snaps))
+        np.asarray(self._pack_leaves(self._pick(warm_snaps)))
         del warm_carry  # donated input is gone; start from a fresh carry
         self.carry = self._place(self.engine.init(config.n_streams))
 
@@ -281,7 +267,7 @@ class MeterServer:
             and (self.stats.hops // k) % max(cfg.fetch_every // k, 1) == 0
         )
         if fetch_now:
-            self._inflight.append((t0, self._pack(snaps)))
+            self._inflight.append((t0, self._pack_leaves(self._dev_meters)))
         while len(self._inflight) > cfg.drain_depth:
             self._drain_one()
 

@@ -258,10 +258,11 @@ def test_wide_producer_clamped_to_negotiated(runtime):
 
 
 def test_rate_switch_between_heterogeneous_width_buckets(tmp_path):
-    """A FORMAT rate change re-routes the link to another bucket; with
-    buckets of different transport widths the channel clamp must be
-    rate-invariant (the client mirrors the HELLO-time bound) or the framed
-    payload width desyncs."""
+    """FORMAT rate changes across buckets of different transport widths:
+    the HELLO-time clamp bound holds for the whole link (the client mirrors
+    it), wide producers keep their full width in their wide bucket, a
+    re-route the new bucket can carry proceeds, and one it cannot carry
+    drops the link cleanly instead of desyncing the payload framing."""
     tp2 = Transport(n_streams=2, channels=2, block_frames=BLOCK, sample_rate=RATE)
     tp6 = Transport(
         n_streams=2, channels=6, block_frames=BLOCK, sample_rate=44_100.0
@@ -269,22 +270,21 @@ def test_rate_switch_between_heterogeneous_width_buckets(tmp_path):
     sock = str(tmp_path / "hetero.sock")
     rt = SessionRuntime({RATE: tp2, 44_100.0: tp6}, sock)
     try:
-        # announce 6 channels at the 6-wide 44.1k bucket: the negotiated
-        # bound is min over ALL buckets (2), so a later move to the 2-wide
-        # bucket cannot desync
+        # a surround producer keeps its 6 channels in the 6-wide bucket
         c = ProducerClient(sock, {"app_name": "roam", "channels": 6,
                                   "sample_rate": 44_100.0})
         slot = c.connect()
         assert slot is not None
-        assert c.max_channels == 2 and c.channels == 2
+        assert c.max_channels == 6 and c.channels == 6
         pcm = np.tile(np.asarray([[0.25, -0.25]], np.float32), (BLOCK * 4, 1))
-        c.send_pcm(pcm, 0)
+        c.send_pcm(pcm, 0)  # client pads the 2-col payload to 6 negotiated
         time.sleep(0.1)
         got = np.asarray(tp6.assemble()[0])[slot]
         assert np.allclose(got[:, 0], 0.25) and np.allclose(got[:, 1], -0.25)
-        assert np.allclose(got[:, 2:], 0.0)  # padded lanes of the wide bucket
+        assert np.allclose(got[:, 2:], 0.0)
 
-        c.send_format(2, sample_rate=RATE)  # re-route to the 2-wide bucket
+        # narrowing re-route the new bucket CAN carry: proceeds in lockstep
+        c.send_format(2, sample_rate=RATE)
         assert c.channels == 2
         c.send_pcm(pcm, int(BLOCK * 4 / 44_100.0 * 1e9))
         time.sleep(0.1)
@@ -296,6 +296,21 @@ def test_rate_switch_between_heterogeneous_width_buckets(tmp_path):
             filled += int(np.count_nonzero(got2[:, 0] == 0.25))
             time.sleep(0.004)
         assert filled >= BLOCK  # audio parses intact at the new rate
+        c.close()
+
+        # a re-route the new bucket CANNOT carry (6ch -> 2-wide bucket)
+        # drops the link: the identity leaves the active view
+        c2 = ProducerClient(sock, {"app_name": "wide6", "channels": 6,
+                                   "sample_rate": 44_100.0})
+        assert c2.connect() is not None and c2.channels == 6
+        c2.send_format(6, sample_rate=RATE)
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline:
+            if "app.name:wide6" not in rt.view()["active"]:
+                break
+            time.sleep(0.02)
+        assert "app.name:wide6" not in rt.view()["active"]
+        c2.close()
     finally:
         rt.shutdown()
 
