@@ -47,6 +47,8 @@ def main() -> int:
     tp = transport.Transport(n_streams=n_streams, channels=2, block_frames=b)
     stop = threading.Event()
 
+    import time as _time
+
     def producer(stream: int):
         gen = 1
         for i in range(blocks):
@@ -62,6 +64,11 @@ def main() -> int:
                 ts = ns_of(i * b)
             while tp.push_pcm(stream, x, ts) != 0 and not stop.is_set():
                 pass
+            # pace the producer so pushes genuinely interleave with the
+            # assembler: an unpaced loop finishes all blocks before the
+            # first assemble, and the final fault's discard-backlog then
+            # wipes every span — the PCM-consume side never executes
+            _time.sleep(0.001)
 
     threads = [
         threading.Thread(target=producer, args=(s,)) for s in range(n_streams)
@@ -74,8 +81,14 @@ def main() -> int:
     consumed = 0
     step = 0
     while True:
-        batch, reset, underrun, live = tp.assemble()
-        consumed += int(np.count_nonzero(batch))
+        # pace on backlog: free-running assembles would let the idle
+        # watchdog advance the timeline past the producers' timestamps and
+        # every pushed span would be skipped as overlap — the PCM-consume
+        # side of the race surface would never execute.  The occasional
+        # idle assemble still exercises the watchdog/silence path.
+        if tp.backlog_blocks() > 0 or step % 97 == 13:
+            batch, reset, underrun, live = tp.assemble()
+            consumed += int(np.count_nonzero(batch))
         step += 1
         if step % 50 == 49:
             tp.set_active(0, False)
@@ -87,6 +100,9 @@ def main() -> int:
     for t in threads:
         t.join()
     print(f"tsan harness done: consumed {consumed} nonzero samples")
+    if consumed == 0:
+        print("FAIL: no PCM reached the assembler — data path unexercised")
+        return 1
     return 0
 
 
