@@ -35,6 +35,7 @@ import dataclasses
 import enum
 import functools
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -208,6 +209,8 @@ class OscilloscopeAnalyzer:
         Dirichlet vector — exact, not an approximation)."""
         from openmeters_tpu.ops.pallas_osc_corr import corr_supported
 
+        if os.environ.get("OPENMETERS_OSC_NO_SLIDE"):
+            return False
         cfg = self.config
         return (
             max(int(cfg.trigger_every), 1) == 1
