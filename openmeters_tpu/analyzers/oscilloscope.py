@@ -207,16 +207,13 @@ class OscilloscopeAnalyzer:
         trigger actually runs every hop; the mean subtraction moves to the
         frequency domain (``C = X - mean·D`` with D the window support's
         Dirichlet vector — exact, not an approximation)."""
-        from openmeters_tpu.ops.pallas_osc_corr import corr_supported
-
-        if os.environ.get("OPENMETERS_OSC_NO_SLIDE"):
+        if _osc_no_slide():
             return False
         cfg = self.config
         return (
             max(int(cfg.trigger_every), 1) == 1
             and cfg.trigger_mode is TriggerMode.STABLE
             and self.history_frames >= self.probe_frames + cfg.block_frames
-            and not corr_supported(self.nsdf_fft)
         )
 
     @property
@@ -376,23 +373,6 @@ class OscilloscopeAnalyzer:
         left = jnp.flip(e[..., p - max_lag : p + 1], axis=-1)  # e[p - tau]
         right = total[..., None] - e[..., : max_lag + 1]
 
-        from openmeters_tpu.ops.pallas_osc_corr import corr_supported, nsdf_search
-
-        if corr_supported(nfft):
-            # fused Pallas NSDF (ops/pallas_osc_corr.py): FFT ->
-            # autocorrelation -> normalize -> earliest-peak pick in VMEM
-            period, confidence, detected_k, last_peak = nsdf_search(
-                c, left, right, total, nfft=nfft, p=p, max_lag=max_lag,
-                min_period=self.min_period,
-            )
-            detected = detected_k & (last_peak >= MIN_SIGNAL_PEAK)
-            return {
-                "period": period,
-                "confidence": confidence,
-                "detected": detected,
-                "last_peak": last_peak,
-            }
-
         last_peak = jnp.max(jnp.abs(c), axis=-1)
         from openmeters_tpu.ops.fft import irfft_mxu, rfft_mxu
 
@@ -404,9 +384,12 @@ class OscilloscopeAnalyzer:
             c_im = pspec[1] - mean * d_im
             power = c_re * c_re + c_im * c_im
         else:
-            spec = rfft_mxu(c, nfft)
+            spec = rfft_mxu(c, nfft, precision=jax.lax.Precision.HIGH)
             power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-        ac = irfft_mxu(power, jnp.zeros_like(power), nfft, out_len=max_lag + 1)
+        ac = irfft_mxu(
+            power, jnp.zeros_like(power), nfft,
+            precision=jax.lax.Precision.HIGH, out_len=max_lag + 1,
+        )
 
         taus = np.arange(max_lag + 1)
         denom = left + right
@@ -477,9 +460,11 @@ class OscilloscopeAnalyzer:
         rate = cfg.sample_rate
         cycles = max(cfg.num_cycles, 1)
         kcap, scap, wcap = self.kernel_cap, self.search_cap, self.work_cap
+        assert trace.shape[1] == 2 * self.ring_cap, (
+            "stable capture requires the mirrored double-write ring"
+        )
         if shift is None:
             shift = jnp.int32(0)
-            assert trace.shape[1] == hist
 
         probe = jax.lax.dynamic_slice(
             trace, (jnp.int32(0), shift + hist - self.probe_frames),
@@ -535,25 +520,26 @@ class OscilloscopeAnalyzer:
         search = jnp.minimum(search, jnp.maximum(right - before, 1))
         left = right - search
 
-        # work = trace[left-before : right+after], end-aligned into [S, wcap]
+        # work = trace[left-before : left-before+wcap], START-aligned: the
+        # searched region begins at work index 0, so one of the two
+        # sliding-sum prefix reads becomes a STATIC slice and the score
+        # anchor reduces to the centered-store offset.  Samples beyond
+        # search+klen are garbage (mirror/stale ring data) that every
+        # consumer masks away; the double-write mirror guarantees any
+        # start in [0, cap) reads a contiguous window.
         from openmeters_tpu.ops.pallas_rows import window_rows
 
-        work_end = right + after
-        w_start = jnp.clip(work_end - wcap, 0, hist - wcap)
-        work = window_rows(trace, w_start + shift, wcap)
-        # valid region of work: last (search + klen) entries
-        wlen = search + klen
+        ring_cap = trace.shape[1] // 2
+        w_start = (shift + jnp.maximum(left - before, 0)) % ring_cap
+        work = window_rows(trace, w_start, wcap)
 
-        from openmeters_tpu.ops.pallas_osc_corr import corr_supported
-
-        fused_corr = corr_supported(self.corr_fft)
-        # Both paths consume the RAW window: normalized correlation is
+        # The search consumes the RAW window: normalized correlation is
         # exactly shift-invariant (dot - sx*st/n centers both operands), and
         # the candidate centering telescopes — (seg - m) - (cmean - m) ==
         # seg - cmean for any per-stream constant m — so the reference's
         # running-mean subtraction of the work region (processor.rs:381-399)
         # cannot change a single output; only the mean_state EMA itself is
-        # kept (fed from the region mean, computed from the cumsums below).
+        # kept (fed from the region mean computed below).
 
         # Centered template store — the TPU-first replacement for the
         # reference's retune resample (processor.rs:249-263,486-498).  The
@@ -583,135 +569,111 @@ class OscilloscopeAnalyzer:
         kmask = (kidx[None, :] >= off[:, None]) & (
             kidx[None, :] < (off + klen)[:, None]
         )
-        base = wcap - search - klen  # [S] first searched work index
-        # template-grid correlation base: tmpl index u sits at store index
-        # off+u, so the spectral dot anchors at base - off (>= 0 because
-        # wcap = kcap + scap and search <= klen/2)
-        base_t = base - off
 
-        if fused_corr:
-            # fused Pallas search (ops/pallas_osc_corr.py): FFTs, sliding
-            # sums, score normalization and BOTH templates' peak picks in
-            # one VMEM-resident kernel — the edge-template scores come
-            # nearly free, so the template-reset re-search below needs no
-            # second correlation pass
-            from openmeters_tpu.ops.pallas_osc_corr import corr_search
+        # Forward transform: one batched call covers the work window and the
+        # blended template; sliding dots land on a static slice via the
+        # phase-shift theorem.  The trigger's consumers are ratios/argmaxes,
+        # so its transforms run at Precision.HIGH — the same 3 bf16 passes
+        # as bf16x3 but internal to the MXU pipeline: explicit in-graph
+        # splits and extra batched rows both measured SLOWER on this
+        # memory-bound pipeline (NOTES r4).
+        from openmeters_tpu.ops.fft import irfft_mxu, rfft_mxu
 
-            # the kernel anchors its sliding sums and region mean at one
-            # base, so feed it templates on the UNCENTERED grid: edges
-            # rebuilt at off=0, the stored reference shifted left by `off`
-            # (contiguous window_rows read)
-            edges = _edge_template(klen, p, kcap)
-            ref_u = window_rows(
-                jnp.pad(reference, ((0, 0), (0, kcap))), off, kcap
-            )
-            kmask_u = kidx[None, :] < klen[:, None]
-            tmpl = edges + jnp.where(
-                use_reference[:, None] & kmask_u, ref_u, 0.0
-            )
-            best, frac, cmean_b, best_e, frac_e, cmean_e, wmean = corr_search(
-                work, tmpl, edges, klen, base, search,
-                nfft=self.corr_fft, scap=scap,
-            )
-            mean_state = jnp.where(
-                can_locate,
-                mean_state + MEAN_RESPONSIVENESS * (wmean - mean_state),
-                mean_state,
-            )
-        else:
-            # XLA fallback: work spectrum + template spectrum correlation,
-            # sliding window sums from MXU-matmul cumsums read back as
-            # Pallas row windows; dots land on a static slice via the
-            # phase-shift theorem
-            from openmeters_tpu.ops.fft import rfft_mxu
+        HIGH = jax.lax.Precision.HIGH
+        nfft = self.corr_fft
+        edges = jnp.where(kmask, _edge_template(klen, p, kcap, off), 0.0)
+        template = jnp.where(
+            use_reference[:, None] & kmask, edges + reference, edges
+        )
+        stacked = jnp.concatenate(
+            [work, jnp.pad(template, ((0, 0), (0, wcap - kcap)))], axis=0
+        )
+        sf = rfft_mxu(stacked, nfft, precision=HIGH)
+        wf, tf = sf[:s], sf[s:]
+        wf_re, wf_im = jnp.real(wf), jnp.imag(wf)
+        # dots anchor on the template grid: start-aligned work puts the
+        # first searched offset at index 0, so the anchor is just the
+        # (negative) centered-store offset
+        ph_re, ph_im = _shift_phase(-off, nfft)
 
-            def template_of(use_ref):
-                edges = _edge_template(klen, p, kcap, off)
-                t = jnp.where(use_ref[:, None], edges + reference, edges)
-                return jnp.where(kmask, t, 0.0)
+        def dots_of(f):  # irfft((wf · conj(f)) · anchor) at offsets 0..scap
+            c_re = wf_re * jnp.real(f) + wf_im * jnp.imag(f)
+            c_im = wf_im * jnp.real(f) - wf_re * jnp.imag(f)
+            d_re, d_im = _cmul(c_re, c_im, ph_re, ph_im)
+            return irfft_mxu(d_re, d_im, nfft, precision=HIGH, out_len=scap + 1)
 
-            # one pair-packed transform covers BOTH the work window and the
-            # blended template (zero-padded kcap -> wcap rows): same math as
-            # two calls, one fewer six-step dispatch chain per hop
-            template = template_of(use_reference)
-            stacked = jnp.concatenate(
-                [work, jnp.pad(template, ((0, 0), (0, wcap - kcap)))], axis=0
-            )
-            sf = rfft_mxu(stacked, self.corr_fft)
-            wf, tf_main = sf[:s], sf[s:]
-            wf_re, wf_im = jnp.real(wf), jnp.imag(wf)
-            # dots anchor on the template grid (centered store): base_t
-            ph_re, ph_im = _shift_phase(base_t, self.corr_fft)
+        dots_m = dots_of(tf)
 
-            def padded_cumsum(v):
-                c = _cumsum_mxu(v)
-                zero = jnp.zeros_like(c[..., :1])
-                return jnp.concatenate(
-                    [zero, c,
-                     jnp.broadcast_to(c[..., -1:], (*c.shape[:-1], scap))],
-                    axis=-1,
-                )
+        # sliding window sums from ONE batched MXU cumsum over [work; work²]:
+        # sx[o] = cs[o + klen] - cs[o] — one Pallas window read at klen plus
+        # a STATIC prefix slice (start-aligned work puts offset 0 at index 0)
+        cs2 = _cumsum_mxu(jnp.concatenate([work, work * work], axis=0))
+        cs2 = jnp.concatenate([jnp.zeros_like(cs2[:, :1]), cs2], axis=-1)
+        hi2 = window_rows(cs2, jnp.tile(klen, 2), scap + 1)
+        lo2 = cs2[:, : scap + 1]
+        sx = hi2[:s] - lo2[:s]
+        sxx = hi2[s:] - lo2[s:]
+        # region mean for the mean_state EMA: the valid region is
+        # [0, search + klen) — a one-hot prefix read of the cumsum
+        wlen = search + klen
+        wlen_f = jnp.maximum(wlen.astype(jnp.float32), 1.0)
+        oh_w = (
+            jnp.arange(wcap + 1, dtype=jnp.int32)[None, :] == wlen[:, None]
+        ).astype(jnp.float32)
+        wmean = jnp.sum(cs2[:s] * oh_w, axis=-1) / wlen_f
+        mean_state = jnp.where(
+            can_locate,
+            mean_state + MEAN_RESPONSIVENESS * (wmean - mean_state),
+            mean_state,
+        )
 
-            ends = jnp.stack([base + klen, base], axis=1)  # [S, 2]
-            cs = padded_cumsum(work)
-            r1 = window_rows(cs, ends, scap + 1)
-            r2 = window_rows(padded_cumsum(work * work), ends, scap + 1)
-            sx = r1[:, 0] - r1[:, 1]
-            sxx = r2[:, 0] - r2[:, 1]
-            # region mean for the mean_state EMA: the valid region starts at
-            # base (wlen = search + klen), so its prefix sum is r1[:, 1, 0]
-            wmean = (cs[:, wcap] - r1[:, 1, 0]) / jnp.maximum(
-                wlen.astype(jnp.float32), 1.0
-            )
-            mean_state = jnp.where(
-                can_locate,
-                mean_state + MEAN_RESPONSIVENESS * (wmean - mean_state),
-                mean_state,
+        n1 = jnp.maximum(klen.astype(jnp.float32), 1.0)[:, None]
+        ex = jnp.maximum(sxx - sx * sx / n1, 0.0)
+
+        def scores_of(dots, tmpl):
+            st = jnp.sum(tmpl, axis=-1, keepdims=True)
+            stt = jnp.sum(tmpl * tmpl, axis=-1, keepdims=True)
+            dot = dots - sx * st / n1
+            ey = jnp.maximum(stt - st * st / n1, 0.0)
+            denom = jnp.sqrt(ex * ey)
+            return jnp.where(
+                denom > 1e-7, jnp.clip(dot / jnp.maximum(denom, 1e-30), -1, 1), 0.0
             )
 
-            def cmean_at(offset):
-                oh = (
-                    jnp.arange(scap + 1, dtype=jnp.int32)[None, :]
-                    == offset[:, None]
-                ).astype(jnp.float32)
-                return jnp.sum(sx * oh, axis=-1) / jnp.maximum(
-                    klen.astype(jnp.float32), 1.0
-                )
+        def cmean_at(offset):
+            oh = (
+                jnp.arange(scap + 1, dtype=jnp.int32)[None, :] == offset[:, None]
+            ).astype(jnp.float32)
+            return jnp.sum(sx * oh, axis=-1) / jnp.maximum(
+                klen.astype(jnp.float32), 1.0
+            )
 
-            def pick(scores):
-                oidx = np.arange(scap + 1)
-                ovalid = oidx[None, :] <= search[:, None]
-                best = jnp.argmax(jnp.where(ovalid, scores, -jnp.inf), axis=-1)
-                b0, b1, b2 = _onehot_neighbors(scores, best)
-                interior = (best > 0) & (best < search)
-                frac = jnp.where(
-                    interior,
-                    jnp.clip(
-                        _parabolic_refine(b0, b1, b2, best) - best, -0.5, 0.5
-                    ),
-                    0.0,
-                )
-                return best.astype(jnp.int32), frac
+        def pick(scores):
+            oidx = np.arange(scap + 1)
+            ovalid = oidx[None, :] <= search[:, None]
+            best = jnp.argmax(jnp.where(ovalid, scores, -jnp.inf), axis=-1)
+            b0, b1, b2 = _onehot_neighbors(scores, best)
+            interior = (best > 0) & (best < search)
+            frac = jnp.where(
+                interior,
+                jnp.clip(_parabolic_refine(b0, b1, b2, best) - best, -0.5, 0.5),
+                0.0,
+            )
+            return best.astype(jnp.int32), frac
 
-            def search_best(template, tf=None):
-                scores = _corr_scores(
-                    wf_re, wf_im, sx, sxx, template, klen, ph_re, ph_im,
-                    self.corr_fft, scap, tf=tf,
-                )
-                return pick(scores)
-
-            best, frac = search_best(template, tf=tf_main)
-            cmean_b = cmean_at(best)
+        best, frac = pick(scores_of(dots_m, template))
+        cmean_b = cmean_at(best)
 
         # candidate write + reference reset check (processor.rs:381-399,509-527)
-        # (work padded by kcap so the capacity read [cstart, cstart+kcap)
-        # never clip-shifts — only [cstart, cstart+klen) carries data, and
-        # cstart + klen <= wcap always holds)
-        work_padded = jnp.pad(work, ((0, 0), (0, kcap)))
+        # (work padded LEFT so the centered capacity read
+        # [offset - off, offset - off + kcap) never clip-shifts — off can
+        # exceed offset; klen >= 1920 bounds off <= 1440 < PADL)
+        padl = 1536
+        work_padded = jnp.pad(work, ((0, 0), (padl, 0)))
 
         def candidate_at(offset, cmean):
-            # centered extraction: store index off+u holds work[base+o+u]
-            seg = window_rows(work_padded, base_t + offset, kcap)
+            # centered extraction: store index off+u holds work[offset+u]
+            seg = window_rows(work_padded, padl - off + offset, kcap)
             seg = jnp.where(kmask, seg, 0.0)
             # cmean = window mean over the klen samples at `offset`
             cand = jnp.where(kmask, seg - cmean[:, None], 0.0)
@@ -726,23 +688,17 @@ class OscilloscopeAnalyzer:
         match = _norm_corr_single(reference, cand, kmask)
         do_reset = can_locate & confident & use_reference & (match < RESET_BELOW_MATCH)
 
-        # re-search without reference where reset fired.  With the fused
-        # kernel the edge-template pick already exists — only the candidate
-        # re-extraction runs under the cond; the XLA fallback re-runs the
-        # correlation there (rare-event cost, NOTE: batching it into the
-        # main pass measured WORSE at S=1024 — +2 ms always-on vs ~0.8 ms
-        # amortized)
+        # re-search without reference where reset fired (rare-event cost
+        # under the cond — batching the edge rows into the main transforms
+        # always-on measured WORSE at S=1024: +2.5 ms of extra FFT rows and
+        # double picks vs ~0.4 ms amortized here)
         def redo(args):
             best0, frac0, cand0 = args
-            if fused_corr:
-                best2, frac2, cmean2 = best_e, frac_e, cmean_e
-            else:
-                template2 = template_of(jnp.zeros_like(use_reference))
-                best2, frac2 = search_best(template2)
-                cmean2 = cmean_at(best2)
-            best1 = jnp.where(do_reset, best2, best0)
-            frac1 = jnp.where(do_reset, frac2, frac0)
-            cmean1 = jnp.where(do_reset, cmean2, cmean_b)
+            dots_e = dots_of(rfft_mxu(edges, nfft, precision=HIGH))
+            best_e, frac_e = pick(scores_of(dots_e, edges))
+            best1 = jnp.where(do_reset, best_e, best0)
+            frac1 = jnp.where(do_reset, frac_e, frac0)
+            cmean1 = jnp.where(do_reset, cmean_at(best_e), cmean_b)
             cand1 = jnp.where(
                 do_reset[:, None], candidate_at(best1, cmean1), cand0
             )
@@ -912,7 +868,7 @@ class OscilloscopeAnalyzer:
                 probe = jax.lax.dynamic_slice(
                     trig_flat, (z, shift + hist_len - p), (lanes_n, p)
                 )
-                spec = rfft_mxu(probe, nfft)
+                spec = rfft_mxu(probe, nfft, precision=jax.lax.Precision.HIGH)
                 return jnp.real(spec), jnp.imag(spec)
 
             def slide(_):
@@ -923,7 +879,9 @@ class OscilloscopeAnalyzer:
                     trig_flat, (z, shift + hist_len - b), (lanes_n, b)
                 )
                 delta = jnp.concatenate([leave, nb], axis=-1)
-                prec = jax.lax.Precision.HIGHEST
+                # HIGH (3 MXU-internal bf16 passes): drift is bounded by the
+                # exact re-anchor every PROBE_REFRESH hops
+                prec = jax.lax.Precision.HIGH
                 dr = jnp.einsum(
                     "sb,bk->sk", delta, jnp.asarray(mat_re), precision=prec
                 )
@@ -1061,6 +1019,16 @@ class OscilloscopeAnalyzer:
 
 
 # -- helpers -------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1)
+def _osc_no_slide() -> bool:
+    """Process-level snapshot of ``OPENMETERS_OSC_NO_SLIDE`` (read once:
+    ``slides_probe`` gates the carry pytree structure, so every call site
+    must agree for the life of the process).  '', '0', 'false', 'no' mean
+    unset; anything else disables the sliding probe path."""
+    v = os.environ.get("OPENMETERS_OSC_NO_SLIDE", "").strip().lower()
+    return v not in ("", "0", "false", "no")
 
 
 @functools.lru_cache(maxsize=8)
@@ -1206,33 +1174,6 @@ def _shift_phase(shift, nfft: int):
     return jnp.cos(ang), jnp.sin(ang)
 
 
-def _corr_scores(
-    wf_re, wf_im, sx, sxx, template, klen, ph_re, ph_im, nfft: int, scap: int,
-    tf=None,
-):
-    """Dense normalized correlation scores at offsets 0..scap (work index
-    base+o).  The sliding dot is an MXU FFT cross-correlation; the window
-    sums arrive precomputed from :func:`_sliding_sums`.  ``tf``: optional
-    precomputed spectrum of ``template`` (the hot path transforms work and
-    template in ONE pair-packed six-step call; the rare reset re-search
-    under its ``lax.cond`` transforms its edge template here instead)."""
-    from openmeters_tpu.ops.fft import irfft_mxu, rfft_mxu
-
-    if tf is None:
-        tf = rfft_mxu(template, nfft)
-    c_re = wf_re * jnp.real(tf) + wf_im * jnp.imag(tf)  # wf · conj(tf)
-    c_im = wf_im * jnp.real(tf) - wf_re * jnp.imag(tf)
-    d_re, d_im = _cmul(c_re, c_im, ph_re, ph_im)
-    dots = irfft_mxu(d_re, d_im, nfft, out_len=scap + 1)
-
-    st = jnp.sum(template, axis=-1, keepdims=True)
-    stt = jnp.sum(template * template, axis=-1, keepdims=True)
-    n = jnp.maximum(klen.astype(jnp.float32), 1.0)[:, None]
-    dot = dots - sx * st / n
-    ex = jnp.maximum(sxx - sx * sx / n, 0.0)
-    ey = jnp.maximum(stt - st * st / n, 0.0)
-    denom = jnp.sqrt(ex * ey)
-    return jnp.where(denom > 1e-7, jnp.clip(dot / jnp.maximum(denom, 1e-30), -1, 1), 0.0)
 
 
 

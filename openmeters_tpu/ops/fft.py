@@ -68,8 +68,10 @@ def _mm(x, mat, precision):
     if precision == "bf16x3":
         # f32-class accuracy in 3 bf16 MXU passes: hi/lo split of the data
         # against a pre-split constant matrix (vs HIGHEST's 6 passes).
-        # ~1e-6 relative — for consumers whose outputs are ratios/peaks
-        # (oscilloscope NSDF + correlation), not the spectral-parity path.
+        # NOTE: the explicit in-graph split materializes extra HBM-level
+        # arrays and converts — measured a 2.4x REGRESSION on memory-bound
+        # pipelines.  Prefer passing ``jax.lax.Precision.HIGH`` (the same 3
+        # bf16 passes, internal to the MXU pipeline, zero extra traffic).
         hi, lo = mat
         xh = x.astype(jnp.bfloat16).astype(jnp.float32)
         xl = x - xh
@@ -79,7 +81,8 @@ def _mm(x, mat, precision):
             + jnp.einsum("...n,nk->...k", xh, lo, precision=p)
             + jnp.einsum("...n,nk->...k", xl, hi, precision=p)
         )
-    return jnp.einsum("...n,nk->...k", x, mat, precision=_PRECISION)
+    prec = _PRECISION if precision is None else precision
+    return jnp.einsum("...n,nk->...k", x, mat, precision=prec)
 
 
 def _stage(re, im, mat_re, mat_im, precision=None):
@@ -181,6 +184,14 @@ def _is_pow2(n: int) -> bool:
     return n >= 4 and (n & (n - 1)) == 0
 
 
+@functools.lru_cache(maxsize=None)
+def _half_twiddle(n: int):
+    """``e^{-2πik/n}`` over k = 0..n//2 as (cos, -sin) float32 rows."""
+    k = np.arange(n // 2 + 1, dtype=np.float64)
+    ang = 2.0 * np.pi * k / n
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
 def rfft_mxu(x, n: int | None = None, precision=None, in_len=None):
     """Real-input FFT -> complex one-sided spectrum ``[..., n//2+1]``.
 
@@ -190,12 +201,14 @@ def rfft_mxu(x, n: int | None = None, precision=None, in_len=None):
     ``in_len``: promise that inputs beyond this index are zero (zero-padded
     frames) — skips the corresponding first-stage matmul rows.
 
-    When the flattened batch is even, two real frames ride one complex
-    transform (z = a + ib; A = (Z(k) + conj(Z(-k)))/2, B = -i(Z(k) -
-    conj(Z(-k)))/2) — halving the MXU work and memory traffic.
+    Each real row SELF-PACKS into a half-size complex transform
+    (z[m] = x[2m] + i·x[2m+1]; the DIT unpack recovers the one-sided
+    spectrum): ~1.5x fewer MXU MACs than pairing two rows into a full-size
+    transform, no cross-row pack/unpack reshapes, and the hermitian
+    bookkeeping shrinks to the half spectrum.
     """
     n = n or x.shape[-1]
-    if not _is_pow2(n):
+    if not _is_pow2(n) or n < 8:
         return jnp.fft.rfft(x.astype(jnp.float32), n=n, axis=-1)
     if in_len is None and x.shape[-1] < n:
         in_len = x.shape[-1]  # zero-padded frame: stage 1 skips the pad rows
@@ -205,26 +218,28 @@ def rfft_mxu(x, n: int | None = None, precision=None, in_len=None):
             x = x[..., :in_len]  # declared zero beyond in_len
     x = _pad_last(x.astype(jnp.float32), n)
     batch_shape = x.shape[:-1]
-    total = int(np.prod(batch_shape)) if batch_shape else 1
-    bins = n // 2 + 1
+    h = n // 2
 
-    if total >= 2 and total % 2 == 0:
-        flat = x.reshape(total // 2, 2, n)
-        fr, fi = _fft_core(flat[:, 0], flat[:, 1], n, precision, in_len=in_len)
-        # Z(-k) = Z((n-k) mod n): full-spectrum mirror, then one-sided slice
-        mr = jnp.concatenate([fr[..., :1], fr[..., 1:][..., ::-1]], axis=-1)[..., :bins]
-        mi = jnp.concatenate([fi[..., :1], fi[..., 1:][..., ::-1]], axis=-1)[..., :bins]
-        fr, fi = fr[..., :bins], fi[..., :bins]
-        a_re = 0.5 * (fr + mr)
-        a_im = 0.5 * (fi - mi)
-        b_re = 0.5 * (fi + mi)
-        b_im = 0.5 * (mr - fr)
-        out_re = jnp.stack([a_re, b_re], axis=1).reshape(*batch_shape, bins)
-        out_im = jnp.stack([a_im, b_im], axis=1).reshape(*batch_shape, bins)
-        return jax.lax.complex(out_re, out_im)
+    # z[m] = x[2m] + i·x[2m+1]
+    pairs = x.reshape(*batch_shape, h, 2)
+    ze, zo = pairs[..., 0], pairs[..., 1]
+    h_in = None if in_len is None else -(-int(in_len) // 2)
+    zr, zi = _fft_core(ze, zo, h, precision, in_len=h_in)  # Z = FFT_h(z)
 
-    re, im = _fft_core(x, None, n, precision, in_len=in_len)
-    return jax.lax.complex(re[..., :bins], im[..., :bins])
+    # E[k] = (Z[k] + conj(Z[h-k]))/2 (FFT of evens), O[k] likewise for odds;
+    # S[k] = E[k] + W_n^k·O[k] over k = 0..h (Z[h] := Z[0])
+    zr_k = jnp.concatenate([zr, zr[..., :1]], axis=-1)
+    zi_k = jnp.concatenate([zi, zi[..., :1]], axis=-1)
+    zr_m = jnp.concatenate([zr[..., :1], zr[..., 1:][..., ::-1], zr[..., :1]], axis=-1)
+    zi_m = jnp.concatenate([zi[..., :1], zi[..., 1:][..., ::-1], zi[..., :1]], axis=-1)
+    e_re = 0.5 * (zr_k + zr_m)
+    e_im = 0.5 * (zi_k - zi_m)
+    o_re = 0.5 * (zi_k + zi_m)  # O = (Z - conj(Zm))/(2i)
+    o_im = 0.5 * (zr_m - zr_k)
+    wc, ws = _half_twiddle(n)
+    s_re = e_re + wc * o_re - ws * o_im
+    s_im = e_im + wc * o_im + ws * o_re
+    return jax.lax.complex(s_re, s_im)
 
 
 def fft_mxu(re, im, n: int | None = None, precision=None):
@@ -261,37 +276,42 @@ def ifft_mxu(re, im, n: int | None = None, precision=None, out_len=None):
 
 def irfft_mxu(spec_re, spec_im, n: int, precision=None, out_len=None):
     """Inverse of :func:`rfft_mxu`: one-sided ``[..., n//2+1]`` (re, im) ->
-    real ``[..., n]`` (or ``[..., out_len]``).  Rebuilds the hermitian
-    spectrum with a static mirror (cheap permutation) and runs the MXU
-    inverse FFT; ``out_len`` skips second-stage matmul columns for callers
-    that only read a prefix (autocorrelation lags, search offsets).
+    real ``[..., n]`` (or ``[..., out_len]``).
 
-    Mirror of the forward pair-packing: when the flattened batch is even, two
-    hermitian spectra ride one complex inverse transform (Z = A + iB with A, B
-    hermitian ⇒ ifft(Z) = a + i·b, a and b real) — halving the MXU work.
+    Each row SELF-PACKS into a half-size complex inverse (the DIT unpack run
+    backwards: Z[k] = E[k] + i·W_n^{-k}·(S[k]-conj(S[h-k]))/2, w = IFFT_h(Z),
+    y[2m] = Re w[m], y[2m+1] = Im w[m]) — ~1.5x fewer MXU MACs than the
+    full-size mirror + cross-row pairing, and no full-spectrum reverse.
+    ``out_len`` skips second-stage matmul columns for callers that only read
+    a prefix (autocorrelation lags, search offsets).
     """
-    if not _is_pow2(n):
+    if not _is_pow2(n) or n < 8:
         out = jnp.fft.irfft(spec_re + 1j * spec_im, n=n, axis=-1)
         if out_len is not None:
             out = out[..., :out_len]
         return out.astype(jnp.float32)
-    half = n // 2  # bins = half + 1; remaining bins k = half+1..n-1 = conj(spec[n-k])
-    full_re = jnp.concatenate([spec_re, spec_re[..., 1:half][..., ::-1]], axis=-1)
-    full_im = jnp.concatenate([spec_im, -spec_im[..., 1:half][..., ::-1]], axis=-1)
-
+    h = n // 2  # spec has h+1 one-sided bins
     out_n = n if out_len is None else min(int(out_len), n)
-    batch_shape = full_re.shape[:-1]
-    total = int(np.prod(batch_shape)) if batch_shape else 1
-    if total >= 2 and total % 2 == 0:
-        fr = full_re.reshape(total // 2, 2, n)
-        fi = full_im.reshape(total // 2, 2, n)
-        z_re = fr[:, 0] - fi[:, 1]  # A + iB with both hermitian
-        z_im = fi[:, 0] + fr[:, 1]
-        a, b = ifft_mxu(z_re, z_im, n, precision, out_len=out_len)
-        return jnp.stack([a, b], axis=1).reshape(*batch_shape, out_n)
+    h_out = -(-out_n // 2)
 
-    re, _ = ifft_mxu(full_re, full_im, n, precision, out_len=out_len)
-    return re
+    # E[k] = (S[k] + conj(S[h-k]))/2, O[k] = W_n^{+k}·(S[k] - conj(S[h-k]))/2
+    # over k = 0..h-1; Z = E + i·O inverts the forward DIT pack.
+    sr, si = spec_re[..., :h], spec_im[..., :h]
+    mr = spec_re[..., 1:][..., ::-1]  # S[h-k].re, k = 0..h-1
+    mi = spec_im[..., 1:][..., ::-1]
+    e_re = 0.5 * (sr + mr)
+    e_im = 0.5 * (si - mi)
+    d_re = 0.5 * (sr - mr)  # D = (S - conj(Sm))/2
+    d_im = 0.5 * (si + mi)
+    wc, ws = _half_twiddle(n)  # e^{-2πik/n}; W^{+k} = (wc, -ws)
+    wc, ws = wc[:h], ws[:h]
+    o_re = d_re * wc + d_im * ws  # D · e^{+2πik/n}
+    o_im = d_im * wc - d_re * ws
+    z_re = e_re - o_im  # Z = E + i·O
+    z_im = e_im + o_re
+    wr, wi = ifft_mxu(z_re, z_im, h, precision, out_len=h_out)
+    out = jnp.stack([wr, wi], axis=-1).reshape(*z_re.shape[:-1], 2 * h_out)
+    return out[..., :out_n] if out_n < 2 * h_out else out
 
 
 def _pad_last(x, n: int):

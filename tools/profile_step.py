@@ -65,6 +65,12 @@ def build(name: str):
             stereometer=StereometerConfig(analyze_bands=True),
             waveform=WaveformConfig(analyze_bands=True, track_history=True),
         ),
+        "config5e1": EngineConfig(
+            channels=2, loudness=None, spectrogram=None, spectrum=None,
+            oscilloscope=OscilloscopeConfig(trigger_every=1),
+            stereometer=StereometerConfig(analyze_bands=True),
+            waveform=WaveformConfig(analyze_bands=True, track_history=True),
+        ),
     }
     return MeterEngine(cfgs[name])
 
@@ -153,9 +159,35 @@ def main():
         for (ln, nm), d in agg.items():
             if ln == busiest:
                 ops[nm] += d
+        # bucket by op category, excluding the outer measurement-scan while
+        # envelope (its duration IS the step; children are counted separately)
+        envelope = max(
+            (d for nm, d in ops.items() if nm.lstrip("%").startswith("while")),
+            default=0,
+        )
+        cats = collections.Counter()
+        for nm, d in ops.items():
+            base = nm.lstrip("%").split(" = ")[0].rstrip("0123456789.")
+            if nm.lstrip("%").startswith("while") and d == envelope:
+                base = "(scan envelope)"
+            elif any(
+                k in base
+                for k in ("copy", "reshape", "pad", "transpose", "bitcast", "rev")
+            ):
+                base = "layout (copy/pad/reshape/rev)"
+            elif "custom-call" in nm or "_tpu" in base:
+                base = "custom-call (pallas)"
+            elif base.startswith(("conditional", "cond")):
+                base = "conditional"
+            elif "fusion" in base:
+                base = "fusion"
+            cats[base] += d
+        print(f"-- categories in '{busiest}' (ms/step)")
+        for nm, d in cats.most_common(20):
+            print(f"{d / iters / 1e6:9.3f}  {nm}")
         print(f"-- top ops in '{busiest}' (us/step)")
-        for nm, d in ops.most_common(30):
-            print(f"{d / iters / 1e3:9.1f}  {nm[:110]}")
+        for nm, d in ops.most_common(60):
+            print(f"{d / iters / 1e3:9.1f}  {nm[:130]}")
 
 
 if __name__ == "__main__":
