@@ -130,6 +130,22 @@ def cmd_serve(args) -> int:
         return 0
 
     server = MeterServer(serve_cfg)
+    if args.checkpoint:
+        # resume the DSP state across restarts (flush-on-exit analogue:
+        # reference main.rs:59); SIGTERM also snapshots before exiting
+        import os
+        import signal
+
+        if os.path.exists(args.checkpoint):
+            server.restore(args.checkpoint)
+            print(f"# restored carry from {args.checkpoint}", file=sys.stderr)
+
+        def _on_term(signum, frame):  # noqa: ARG001
+            server.checkpoint(args.checkpoint)
+            raise SystemExit(128 + signum)
+
+        signal.signal(signal.SIGTERM, _on_term)
+        signal.signal(signal.SIGINT, _on_term)
     if args.tui:
         from openmeters_tpu.tui import serve_tui_callback
 
@@ -141,6 +157,8 @@ def cmd_serve(args) -> int:
         report = server.run(args.duration)
     finally:
         ok, failed = feeder.stop()
+        if args.checkpoint:
+            server.checkpoint(args.checkpoint)
         server.close()
     report["feeder_pushes_ok"] = ok
     report["feeder_pushes_failed"] = failed
@@ -270,6 +288,9 @@ def main(argv=None) -> int:
                     help="stream index shown by --tui")
     pv.add_argument("--ingest-only", action="store_true",
                     help="host-only ingest benchmark (no device work)")
+    pv.add_argument("--checkpoint",
+                    help="carry checkpoint path: restore on start if it "
+                    "exists; save on exit and on SIGTERM/SIGINT")
     pv.set_defaults(fn=cmd_serve)
 
     ps = sub.add_parser("settings", help="settings utilities")

@@ -163,6 +163,8 @@ class MeterServer:
             else None
         )
         self.paused = False
+        self._resume_mask = None  # set by restore(): streams whose next
+        # generation reset is the resumption itself (suppressed once)
         self.stats = EngineStats()
         self.latencies_ms: list[float] = []
         self.last_snapshot = None
@@ -211,6 +213,39 @@ class MeterServer:
         """Global pause: stop consuming (meter.rs:126-142)."""
         self.paused = paused
 
+    # -- checkpoint/restore ---------------------------------------------------
+
+    def checkpoint(self, path: str) -> None:
+        """Snapshot the live engine carry (filter states, loudness windows,
+        rings, trigger locks) to ``path``.  The serving-path analogue of the
+        reference's flush-on-exit (main.rs:59, persistence/store.rs:142-181)
+        — except the reference persists only settings; this preserves the
+        DSP state itself so a restarted server resumes mid-window (no 3 s
+        loudness warmup, no trigger re-lock)."""
+        from openmeters_tpu.checkpoint import save_state
+
+        save_state(path, self.engine, self.carry)
+
+    def restore(self, path: str) -> None:
+        """Load a carry checkpoint into the live server (engine config must
+        fingerprint-match; stream count must equal the serving config)."""
+        from openmeters_tpu.checkpoint import _infer_streams, load_state
+
+        carry = load_state(path, self.engine)
+        import jax
+
+        n = _infer_streams(self.engine, jax.tree.leaves(carry))
+        if n != self.config.n_streams:
+            raise ValueError(
+                f"checkpoint holds {n} streams; server is configured for "
+                f"{self.config.n_streams}"
+            )
+        self.carry = self._place(carry)
+        # a restarted transport flags each stream's first data as a
+        # generation reset; that reset is the resumption itself — consume
+        # the first one per stream so it cannot wipe the restored carry
+        self._resume_mask = np.ones((self.config.n_streams,), bool)
+
     def set_active(self, stream: int, active: bool) -> None:
         self.transport.set_active(stream, active)
 
@@ -235,7 +270,16 @@ class MeterServer:
                 )
                 n_resets += int(rst.sum())
                 n_under += int(und.sum())
-            dev_reset = jax.device_put(reset.astype(bool))
+            reset_b = reset.astype(bool)
+            if self._resume_mask is not None:
+                for j in range(k):
+                    consumed = reset_b[j] & self._resume_mask
+                    reset_b[j] &= ~self._resume_mask
+                    self._resume_mask &= ~consumed
+                    n_resets -= int(consumed.sum())
+                if not self._resume_mask.any():
+                    self._resume_mask = None
+            dev_reset = jax.device_put(reset_b)
             for _ in range(k):
                 self.stats.record(
                     cfg.n_streams, ecfg.block_frames, ecfg.sample_rate,
@@ -247,6 +291,13 @@ class MeterServer:
                 pool=self._pool, shards=cfg.assembler_shards,
                 out=(batch, reset, underrun), buf_id=buf_i,
             )
+            rst = np.asarray(rst).astype(bool)
+            if self._resume_mask is not None:
+                consumed = rst & self._resume_mask
+                rst = rst & ~self._resume_mask
+                self._resume_mask &= ~consumed
+                if not self._resume_mask.any():
+                    self._resume_mask = None
             dev_reset = jax.device_put(rst)
             self.stats.record(
                 cfg.n_streams, ecfg.block_frames, ecfg.sample_rate,

@@ -281,3 +281,63 @@ def test_serve_on_drain_tui_renders():
     assert "LUFS" in last and "M " in last
     # a -20ish dBFS tone draws a partially-filled momentary bar
     assert "█" in last
+
+
+def test_serve_checkpoint_resume_continuous_lufs(tmp_path):
+    """Kill a serving loop mid-stream, restore its carry into a fresh server
+    (new process analogue: new transport, new engine), and verify the LUFS
+    timeline is CONTINUOUS — no 400 ms momentary warmup, and the fresh
+    transport's first-data generation reset must not wipe the restored
+    carry.  Reference analogue: flush-on-exit (main.rs:59)."""
+    engine = EngineConfig(
+        channels=2, spectrogram=None, spectrum=None,
+        oscilloscope=None, stereometer=None, waveform=None,
+    )
+    cfg = ServeConfig(
+        n_streams=2, channels=2, engine=engine, realtime=False, fetch="none"
+    )
+    rate, block = 48_000.0, 256
+
+    def tone(n0: int, frames: int, amp: float) -> np.ndarray:
+        t = np.arange(n0, n0 + frames, dtype=np.float64) / rate
+        x = (amp * np.sin(2.0 * np.pi * 997.0 * t)).astype(np.float32)
+        return np.stack([x, x], axis=-1)
+
+    def feed_and_advance(server, n0: int, hops: int, amp: float) -> int:
+        for _ in range(hops):
+            blk = tone(n0, block, amp)
+            ts = int(n0 / rate * 1e9)
+            for st in range(2):
+                server.transport.push_pcm(st, blk, ts)
+            n0 += block
+            server.advance()
+        return n0
+
+    s1 = MeterServer(cfg)
+    n = feed_and_advance(s1, 0, 90, amp=0.25)  # 0.48 s: momentary window full
+    m1 = s1.fetch_meters_now()
+    key = next(k for k in m1 if "momentary" in k)
+    l1 = np.asarray(m1[key])
+    assert np.all(np.isfinite(l1))
+    ckpt = str(tmp_path / "carry.npz")
+    s1.checkpoint(ckpt)
+    s1.close()  # "kill" the serving process
+
+    # after the restart the program drops 20 dB: a server that truly
+    # resumed still reads the loud window (73/75 of it); a fresh one only
+    # ever saw the quiet tail — partial-window normalization would
+    # otherwise make constant-level warmup invisible
+    s2 = MeterServer(cfg)  # restarted process
+    s2.restore(ckpt)
+    s3 = MeterServer(cfg)  # control: no restore -> the window starts empty
+    for server in (s2, s3):
+        feed_and_advance(server, n, 2, amp=0.025)
+    l2 = np.asarray(s2.fetch_meters_now()[key])
+    l3 = np.asarray(s3.fetch_meters_now()[key])
+    s2.close()
+    s3.close()
+    # resumed: momentary LUFS continues (2 quiet hops shave <0.3 LU off a
+    # 75-hop loud window)
+    assert np.all(np.abs(l2 - l1) < 0.3), (l1, l2)
+    # control: only the quiet tail exists -> ~20 LU lower
+    assert np.all(l3 < l1 - 15.0), (l1, l3)
