@@ -151,6 +151,62 @@ def build_config5_engine(trigger_every: int = 3):
     )
 
 
+def build_default_engine():
+    """The literal ``EngineConfig()`` reference default at stereo transport
+    width: ALL SIX analyzers, spectrogram reassignment ON
+    (processor.rs:45-56), the 16384/1024 spectrum, and the per-hop trigger
+    cadence — exactly what the reference registry instantiates by default
+    (registry.rs:37-240)."""
+    from openmeters_tpu.engine import EngineConfig, MeterEngine
+
+    return MeterEngine(EngineConfig(channels=2))
+
+
+def measure_latency(engine, n_streams: int, n_dispatch: int = 100) -> dict:
+    """Single-dispatch hop→meters latency: H2D of one ``[S, B, C]`` block +
+    one engine step + the packed-meter fetch (serve.py's ``_make_packer``
+    path — ONE device→host transfer), timed per dispatch.  This is the
+    serving loop's per-hop critical path (meter.rs:82-143 cadence); the
+    north star asks p50 < 10 ms."""
+    import jax
+
+    from openmeters_tpu.engine import StreamMeta
+    from openmeters_tpu.serve import _make_packer, _meter_leaf_mask
+
+    cfg = engine.config
+    b = cfg.block_frames
+    rng = np.random.default_rng(0)
+    blocks = (rng.standard_normal((4, n_streams, b, cfg.channels)) * 0.25).astype(
+        np.float32
+    )
+    meta = StreamMeta.default(n_streams, channels=2, pad_channels=cfg.channels)
+    reset = jax.device_put(np.zeros((n_streams,), bool))
+
+    step = jax.jit(
+        lambda c, x, m, r: engine.step(c, x, m, r), donate_argnums=0
+    )
+    carry = engine.init(n_streams)
+    carry, snaps = step(carry, jax.device_put(blocks[0]), meta, reset)
+    pick, pack = _make_packer(_meter_leaf_mask(snaps, n_streams))
+    float(np.asarray(pack(pick(snaps)))[0])  # compile + real sync
+    carry, snaps = step(carry, jax.device_put(blocks[1]), meta, reset)
+    float(np.asarray(pack(pick(snaps)))[0])  # donated-layout recompile
+
+    lat = np.empty((n_dispatch,), np.float64)
+    for i in range(n_dispatch):
+        t0 = time.perf_counter()
+        dev = jax.device_put(blocks[i % 4])
+        carry, snaps = step(carry, dev, meta, reset)
+        np.asarray(pack(pick(snaps)))
+        lat[i] = (time.perf_counter() - t0) * 1e3
+    return {
+        "n_streams": n_streams,
+        "p50": float(np.percentile(lat, 50)),
+        "p95": float(np.percentile(lat, 95)),
+        "max": float(lat.max()),
+    }
+
+
 def build_reassigned_engine():
     """The reference's DEFAULT spectrogram config: reassignment on, 2048/64
     (processor.rs:58-59) — the sliding-analytic path."""
@@ -232,21 +288,34 @@ def main():
 
     if os.environ.get("OPENMETERS_BENCH_HEADLINE_ONLY"):
         return
+    # hop->meters latency on this link (north star: <10 ms p50)
+    lat = measure_latency(build_engine(), 4096)
+    print(
+        f"# latency S={lat['n_streams']}: p50 {lat['p50']:.2f} ms, "
+        f"p95 {lat['p95']:.2f} ms, max {lat['max']:.2f} ms hop->meters",
+        file=sys.stderr,
+    )
+    # ordered by artifact importance in case a driver time budget truncates
+    eng5e1 = build_config5_engine(trigger_every=1)
+    r = measure(eng5e1, 1024, iters=64)
+    _report("config5 trigger_every=1 (per-hop trigger)", r)
     eng_r = build_reassigned_engine()
     for n in (4096, 6144, 8192):
         r = measure(eng_r, n, iters=32)
         _report("reassigned-2048/64", r)
         if not r["realtime"]:
             break
+    # the literal EngineConfig() reference default (all six, reassignment ON,
+    # 16384-pt spectrum, per-hop trigger)
+    eng_d = build_default_engine()
+    r = measure(eng_d, 1024, iters=32)
+    _report("default EngineConfig() (all six, reassigned, 16384-pt spectrum)", r)
     eng = build_full_engine()
     r = measure(eng, 1024, iters=64)
     _report("all-six", r)
     eng5 = build_config5_engine()
     r = measure(eng5, 1024, iters=64)
     _report("config5 (osc+stereo+waveform)", r)
-    eng5e1 = build_config5_engine(trigger_every=1)
-    r = measure(eng5e1, 1024, iters=64)
-    _report("config5 trigger_every=1 (per-hop trigger)", r)
 
 
 if __name__ == "__main__":

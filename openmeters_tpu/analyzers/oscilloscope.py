@@ -384,12 +384,9 @@ class OscilloscopeAnalyzer:
             c_im = pspec[1] - mean * d_im
             power = c_re * c_re + c_im * c_im
         else:
-            spec = rfft_mxu(c, nfft, precision=jax.lax.Precision.HIGH)
+            spec = rfft_mxu(c, nfft)
             power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-        ac = irfft_mxu(
-            power, jnp.zeros_like(power), nfft,
-            precision=jax.lax.Precision.HIGH, out_len=max_lag + 1,
-        )
+        ac = irfft_mxu(power, jnp.zeros_like(power), nfft, out_len=max_lag + 1)
 
         taus = np.arange(max_lag + 1)
         denom = left + right
@@ -572,14 +569,13 @@ class OscilloscopeAnalyzer:
 
         # Forward transform: one batched call covers the work window and the
         # blended template; sliding dots land on a static slice via the
-        # phase-shift theorem.  The trigger's consumers are ratios/argmaxes,
-        # so its transforms run at Precision.HIGH — the same 3 bf16 passes
-        # as bf16x3 but internal to the MXU pipeline: explicit in-graph
-        # splits and extra batched rows both measured SLOWER on this
-        # memory-bound pipeline (NOTES r4).
+        # phase-shift theorem.  Precision stays HIGHEST: bf16x3-class dots
+        # (HIGH, or explicit splits) leave ~2^-17 relative error on the
+        # spectral products, which the inverse DFT's cancellation amplifies
+        # to ~3e-3 of the correlation peak — enough to jitter the argmax
+        # and swamp the parabolic refinement for low-f0 streams (NOTES r4).
         from openmeters_tpu.ops.fft import irfft_mxu, rfft_mxu
 
-        HIGH = jax.lax.Precision.HIGH
         nfft = self.corr_fft
         edges = jnp.where(kmask, _edge_template(klen, p, kcap, off), 0.0)
         template = jnp.where(
@@ -588,7 +584,7 @@ class OscilloscopeAnalyzer:
         stacked = jnp.concatenate(
             [work, jnp.pad(template, ((0, 0), (0, wcap - kcap)))], axis=0
         )
-        sf = rfft_mxu(stacked, nfft, precision=HIGH)
+        sf = rfft_mxu(stacked, nfft)
         wf, tf = sf[:s], sf[s:]
         wf_re, wf_im = jnp.real(wf), jnp.imag(wf)
         # dots anchor on the template grid: start-aligned work puts the
@@ -600,7 +596,7 @@ class OscilloscopeAnalyzer:
             c_re = wf_re * jnp.real(f) + wf_im * jnp.imag(f)
             c_im = wf_im * jnp.real(f) - wf_re * jnp.imag(f)
             d_re, d_im = _cmul(c_re, c_im, ph_re, ph_im)
-            return irfft_mxu(d_re, d_im, nfft, precision=HIGH, out_len=scap + 1)
+            return irfft_mxu(d_re, d_im, nfft, out_len=scap + 1)
 
         dots_m = dots_of(tf)
 
@@ -694,7 +690,7 @@ class OscilloscopeAnalyzer:
         # double picks vs ~0.4 ms amortized here)
         def redo(args):
             best0, frac0, cand0 = args
-            dots_e = dots_of(rfft_mxu(edges, nfft, precision=HIGH))
+            dots_e = dots_of(rfft_mxu(edges, nfft))
             best_e, frac_e = pick(scores_of(dots_e, edges))
             best1 = jnp.where(do_reset, best_e, best0)
             frac1 = jnp.where(do_reset, frac_e, frac0)
@@ -868,7 +864,7 @@ class OscilloscopeAnalyzer:
                 probe = jax.lax.dynamic_slice(
                     trig_flat, (z, shift + hist_len - p), (lanes_n, p)
                 )
-                spec = rfft_mxu(probe, nfft, precision=jax.lax.Precision.HIGH)
+                spec = rfft_mxu(probe, nfft)
                 return jnp.real(spec), jnp.imag(spec)
 
             def slide(_):
@@ -879,9 +875,7 @@ class OscilloscopeAnalyzer:
                     trig_flat, (z, shift + hist_len - b), (lanes_n, b)
                 )
                 delta = jnp.concatenate([leave, nb], axis=-1)
-                # HIGH (3 MXU-internal bf16 passes): drift is bounded by the
-                # exact re-anchor every PROBE_REFRESH hops
-                prec = jax.lax.Precision.HIGH
+                prec = jax.lax.Precision.HIGHEST
                 dr = jnp.einsum(
                     "sb,bk->sk", delta, jnp.asarray(mat_re), precision=prec
                 )

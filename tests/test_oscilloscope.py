@@ -345,3 +345,47 @@ def test_linked_trigger_shares_one_capture():
     assert bool(np.asarray(snap.locked)[0, 0])
     np.testing.assert_array_equal(np.asarray(snap.span)[0, 0], np.asarray(snap.span)[0, 1])
     np.testing.assert_array_equal(np.asarray(snap.start)[0, 0], np.asarray(snap.start)[0, 1])
+
+
+def test_continuous_glide_keeps_lock_and_tracks():
+    """Pitch GLIDE — the worst case for the centered template store: the
+    reference lerp-resamples its template continuously
+    (processor.rs:249-263,486-498) while this rebuild drops it on
+    >1-semitone jumps.  On a continuous 220→880 Hz exponential sweep
+    (2 octaves over 2 s, ~0.26 semitone per hop) the 0.5-responsiveness
+    ref_period EMA must keep the drop clause from ever firing: the lock
+    must hold essentially continuously and the detected rate must track
+    the instantaneous frequency."""
+    ana = OscilloscopeAnalyzer(stable_config())
+    carry = ana.init(1)
+    carry, _ = feed(ana, carry, sine(220.0, BLOCK * 15))  # acquire
+
+    dur_s = 2.0
+    frames = int(dur_s * RATE) // BLOCK * BLOCK
+    t = np.arange(frames, dtype=np.float64) / RATE
+    f0, octaves = 220.0, 2.0
+    k = octaves * np.log(2.0) / dur_s  # f(t) = f0 * e^{k t}
+    phase = TAU * f0 * (np.exp(k * t) - 1.0) / k
+    sweep = np.sin(phase).astype(np.float32)
+    carry, snaps = feed(ana, carry, sweep)
+
+    inst_f = f0 * np.exp(k * (np.arange(len(snaps)) + 1) * BLOCK / RATE)
+    unlocked_run = max_run = 0
+    tracked = 0
+    for i, s in enumerate(snaps):
+        if bool(s.locked[0, 0]):
+            unlocked_run = 0
+            r = detected_rate(s)
+            # within ~1.3 semitones of the instantaneous frequency
+            # (EMA smoothing lags a 1-octave/s glide by a few hops)
+            if r is not None and abs(np.log2(r / inst_f[i])) < 0.11:
+                tracked += 1
+        else:
+            unlocked_run += 1
+            max_run = max(max_run, unlocked_run)
+    n = len(snaps)
+    locked_frac = sum(bool(s.locked[0, 0]) for s in snaps) / n
+    assert locked_frac > 0.95, locked_frac
+    # bounded re-lock: a template drop costs at most ~2 hops
+    assert max_run <= 2, max_run
+    assert tracked / n > 0.9, (tracked, n)

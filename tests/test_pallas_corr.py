@@ -1,0 +1,75 @@
+"""Parity tests for the fused Pallas correlation-search kernel
+(ops/pallas_corr.py) in interpret mode on CPU."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("OPENMETERS_PALLAS_INTERPRET", "1")
+
+
+def _reference(work, tmpl, shift, nfft, out_len):
+    wf = np.fft.rfft(work, nfft, axis=-1)
+    tf = np.fft.rfft(tmpl, nfft, axis=-1)
+    k = np.arange(nfft // 2 + 1)
+    ph = np.exp(2j * np.pi * k[None, :] * shift[:, None] / nfft)
+    return np.fft.irfft(wf * np.conj(tf) * ph, nfft, axis=-1)[:, :out_len]
+
+
+def test_corr_dots_matches_fft_reference():
+    from openmeters_tpu.ops.pallas_corr import corr_dots
+
+    rng = np.random.default_rng(0)
+    s, lw, lt, nfft, out = 8, 7200, 4800, 8192, 2401
+    work = rng.standard_normal((s, lw)).astype(np.float32)
+    tmpl = (
+        rng.standard_normal((s, lt)).astype(np.float32)
+        * (np.arange(lt) < 3000)
+    )
+    shift = rng.integers(-1440, 2400, size=s).astype(np.int32)
+    got = np.asarray(
+        corr_dots(jnp.asarray(work), jnp.asarray(tmpl), jnp.asarray(shift),
+                  nfft, out)
+    )
+    want = _reference(work, tmpl, shift, nfft, out)
+    # full-f32 class: bf16x3-class dots would land at ~3e-3 here (the
+    # inverse DFT's cancellation amplifies elementwise error ~1000x)
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+
+
+def test_corr_dots_delta_template_extracts_windows():
+    from openmeters_tpu.ops.pallas_corr import corr_dots
+
+    rng = np.random.default_rng(1)
+    s, nfft, out = 4, 8192, 2401
+    work = rng.standard_normal((s, 7200)).astype(np.float32)
+    tmpl = np.zeros((s, 4800), np.float32)
+    tmpl[:, 777] = 1.0  # dots[o] = work[o + shift + 777]
+    shift = np.full((s,), 100, np.int32)
+    got = np.asarray(
+        corr_dots(jnp.asarray(work), jnp.asarray(tmpl), jnp.asarray(shift),
+                  nfft, out)
+    )
+    want = work[:, 877 : 877 + out]
+    assert np.abs(got - want).max() < 1e-5
+
+
+def test_corr_dots_row_padding_and_odd_batch():
+    from openmeters_tpu.ops.pallas_corr import corr_dots
+
+    rng = np.random.default_rng(2)
+    s, nfft, out = 5, 8192, 130  # not a tile multiple; tiny out_len
+    work = rng.standard_normal((s, 6000)).astype(np.float32)
+    tmpl = rng.standard_normal((s, 4000)).astype(np.float32)
+    shift = np.zeros((s,), np.int32)
+    got = np.asarray(
+        corr_dots(jnp.asarray(work), jnp.asarray(tmpl), jnp.asarray(shift),
+                  nfft, out)
+    )
+    want = _reference(work, tmpl, shift, nfft, out)
+    assert got.shape == (s, out)
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
