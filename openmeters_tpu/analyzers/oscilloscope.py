@@ -581,24 +581,37 @@ class OscilloscopeAnalyzer:
         template = jnp.where(
             use_reference[:, None] & kmask, edges + reference, edges
         )
-        stacked = jnp.concatenate(
-            [work, jnp.pad(template, ((0, 0), (0, wcap - kcap)))], axis=0
-        )
-        sf = rfft_mxu(stacked, nfft)
-        wf, tf = sf[:s], sf[s:]
-        wf_re, wf_im = jnp.real(wf), jnp.imag(wf)
-        # dots anchor on the template grid: start-aligned work puts the
-        # first searched offset at index 0, so the anchor is just the
-        # (negative) centered-store offset
-        ph_re, ph_im = _shift_phase(-off, nfft)
+        from openmeters_tpu.ops.pallas_corr import corr_dots, pallas_enabled
 
-        def dots_of(f):  # irfft((wf · conj(f)) · anchor) at offsets 0..scap
-            c_re = wf_re * jnp.real(f) + wf_im * jnp.imag(f)
-            c_im = wf_im * jnp.real(f) - wf_re * jnp.imag(f)
-            d_re, d_im = _cmul(c_re, c_im, ph_re, ph_im)
-            return irfft_mxu(d_re, d_im, nfft, out_len=scap + 1)
+        if pallas_enabled() and nfft & (nfft - 1) == 0 and nfft >= 1024:
+            # fused VMEM-resident kernel: forward DFTs + conj-product +
+            # per-stream anchor + one-sided inverse, zero HBM intermediates
+            dots_m = corr_dots(work, template, -off, nfft, scap + 1)
 
-        dots_m = dots_of(tf)
+            def dots_edges():  # rare-event redo path (reference reset)
+                return corr_dots(work, edges, -off, nfft, scap + 1)
+        else:
+            stacked = jnp.concatenate(
+                [work, jnp.pad(template, ((0, 0), (0, wcap - kcap)))], axis=0
+            )
+            sf = rfft_mxu(stacked, nfft)
+            wf = sf[:s]
+            wf_re, wf_im = jnp.real(wf), jnp.imag(wf)
+            # dots anchor on the template grid: start-aligned work puts the
+            # first searched offset at index 0, so the anchor is just the
+            # (negative) centered-store offset
+            ph_re, ph_im = _shift_phase(-off, nfft)
+
+            def dots_of(f):  # irfft((wf·conj(f))·anchor) at offsets 0..scap
+                c_re = wf_re * jnp.real(f) + wf_im * jnp.imag(f)
+                c_im = wf_im * jnp.real(f) - wf_re * jnp.imag(f)
+                d_re, d_im = _cmul(c_re, c_im, ph_re, ph_im)
+                return irfft_mxu(d_re, d_im, nfft, out_len=scap + 1)
+
+            dots_m = dots_of(sf[s:])
+
+            def dots_edges():
+                return dots_of(rfft_mxu(edges, nfft))
 
         # sliding window sums from ONE batched MXU cumsum over [work; work²]:
         # sx[o] = cs[o + klen] - cs[o] — one Pallas window read at klen plus
@@ -690,7 +703,7 @@ class OscilloscopeAnalyzer:
         # double picks vs ~0.4 ms amortized here)
         def redo(args):
             best0, frac0, cand0 = args
-            dots_e = dots_of(rfft_mxu(edges, nfft))
+            dots_e = dots_edges()
             best_e, frac_e = pick(scores_of(dots_e, edges))
             best1 = jnp.where(do_reset, best_e, best0)
             frac1 = jnp.where(do_reset, frac_e, frac0)
