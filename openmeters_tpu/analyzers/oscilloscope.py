@@ -376,6 +376,15 @@ class OscilloscopeAnalyzer:
         last_peak = jnp.max(jnp.abs(c), axis=-1)
         from openmeters_tpu.ops.fft import irfft_mxu, rfft_mxu
 
+        # NSDF transforms run at Precision.HIGH (3 MXU-internal bf16
+        # passes): unlike the trigger's correlation argmax (HIGHEST in the
+        # fused kernel — see pallas_corr), every NSDF consumer tolerates
+        # bf16x3-class error: lock/zero-crossing/cutoff decisions compare
+        # against 0.5/0.93-class thresholds, and for tonal content (the
+        # only case where lock matters) the autocorrelation's spectrum is
+        # concentrated, so the inverse's cancellation amplification that
+        # produces 3e-3-of-peak on NOISE inputs collapses to ~2^-17-class.
+        HIGH = jax.lax.Precision.HIGH
         if pspec is not None:
             _, _, _, _, d_re, d_im = _probe_slide_consts(
                 p, self.config.block_frames, nfft
@@ -384,9 +393,12 @@ class OscilloscopeAnalyzer:
             c_im = pspec[1] - mean * d_im
             power = c_re * c_re + c_im * c_im
         else:
-            spec = rfft_mxu(c, nfft)
+            spec = rfft_mxu(c, nfft, precision=HIGH)
             power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-        ac = irfft_mxu(power, jnp.zeros_like(power), nfft, out_len=max_lag + 1)
+        ac = irfft_mxu(
+            power, jnp.zeros_like(power), nfft,
+            precision=HIGH, out_len=max_lag + 1,
+        )
 
         taus = np.arange(max_lag + 1)
         denom = left + right
@@ -581,12 +593,24 @@ class OscilloscopeAnalyzer:
         template = jnp.where(
             use_reference[:, None] & kmask, edges + reference, edges
         )
-        from openmeters_tpu.ops.pallas_corr import corr_dots, pallas_enabled
+        from openmeters_tpu.ops.pallas_corr import (
+            corr_dots,
+            corr_dots_sums,
+            pallas_enabled,
+        )
 
+        wlen = search + klen
+        wlen_f = jnp.maximum(wlen.astype(jnp.float32), 1.0)
         if pallas_enabled() and nfft & (nfft - 1) == 0 and nfft >= 1024:
             # fused VMEM-resident kernel: forward DFTs + conj-product +
-            # per-stream anchor + one-sided inverse, zero HBM intermediates
-            dots_m = corr_dots(work, template, -off, nfft, scap + 1)
+            # per-stream anchor + one-sided inverse, zero HBM intermediates.
+            # The sliding window sums and the region mean ride along:
+            # an in-VMEM cumsum + one-hot shift matmuls (exact f32-class)
+            # replace the XLA [2S, wcap] cumsum, its layout copies, and
+            # the per-row window reads.
+            dots_m, sx, sxx, wmean = corr_dots_sums(
+                work, template, klen, wlen, -off, nfft, scap + 1
+            )
 
             def dots_edges():  # rare-event redo path (reference reset)
                 return corr_dots(work, edges, -off, nfft, scap + 1)
@@ -613,23 +637,26 @@ class OscilloscopeAnalyzer:
             def dots_edges():
                 return dots_of(rfft_mxu(edges, nfft))
 
-        # sliding window sums from ONE batched MXU cumsum over [work; work²]:
-        # sx[o] = cs[o + klen] - cs[o] — one Pallas window read at klen plus
-        # a STATIC prefix slice (start-aligned work puts offset 0 at index 0)
-        cs2 = _cumsum_mxu(jnp.concatenate([work, work * work], axis=0))
-        cs2 = jnp.concatenate([jnp.zeros_like(cs2[:, :1]), cs2], axis=-1)
-        hi2 = window_rows(cs2, jnp.tile(klen, 2), scap + 1)
-        lo2 = cs2[:, : scap + 1]
-        sx = hi2[:s] - lo2[:s]
-        sxx = hi2[s:] - lo2[s:]
-        # region mean for the mean_state EMA: the valid region is
-        # [0, search + klen) — a one-hot prefix read of the cumsum
-        wlen = search + klen
-        wlen_f = jnp.maximum(wlen.astype(jnp.float32), 1.0)
-        oh_w = (
-            jnp.arange(wcap + 1, dtype=jnp.int32)[None, :] == wlen[:, None]
-        ).astype(jnp.float32)
-        wmean = jnp.sum(cs2[:s] * oh_w, axis=-1) / wlen_f
+            # sliding window sums from ONE batched MXU cumsum over
+            # [work; work²]: sx[o] = cs[o + klen] - cs[o] — one Pallas
+            # window read at klen plus a STATIC prefix slice
+            # (start-aligned work puts offset 0 at index 0)
+            cs2 = _cumsum_mxu(jnp.concatenate([work, work * work], axis=0))
+            cs2 = jnp.concatenate(
+                [jnp.zeros_like(cs2[:, :1]), cs2], axis=-1
+            )
+            hi2 = window_rows(cs2, jnp.tile(klen, 2), scap + 1)
+            lo2 = cs2[:, : scap + 1]
+            sx = hi2[:s] - lo2[:s]
+            sxx = hi2[s:] - lo2[s:]
+            # region mean for the mean_state EMA: the valid region is
+            # [0, search + klen) — a one-hot prefix read of the cumsum
+            oh_w = (
+                jnp.arange(wcap + 1, dtype=jnp.int32)[None, :]
+                == wlen[:, None]
+            ).astype(jnp.float32)
+            wmean = jnp.sum(cs2[:s] * oh_w, axis=-1) / wlen_f
+
         mean_state = jnp.where(
             can_locate,
             mean_state + MEAN_RESPONSIVENESS * (wmean - mean_state),
@@ -877,7 +904,7 @@ class OscilloscopeAnalyzer:
                 probe = jax.lax.dynamic_slice(
                     trig_flat, (z, shift + hist_len - p), (lanes_n, p)
                 )
-                spec = rfft_mxu(probe, nfft)
+                spec = rfft_mxu(probe, nfft, precision=jax.lax.Precision.HIGH)
                 return jnp.real(spec), jnp.imag(spec)
 
             def slide(_):
@@ -888,7 +915,10 @@ class OscilloscopeAnalyzer:
                     trig_flat, (z, shift + hist_len - b), (lanes_n, b)
                 )
                 delta = jnp.concatenate([leave, nb], axis=-1)
-                prec = jax.lax.Precision.HIGHEST
+                # HIGH: NSDF tolerates bf16x3-class error (see
+                # _estimate_period); drift is bounded by the exact
+                # re-anchor every PROBE_REFRESH hops
+                prec = jax.lax.Precision.HIGH
                 dr = jnp.einsum(
                     "sb,bk->sk", delta, jnp.asarray(mat_re), precision=prec
                 )

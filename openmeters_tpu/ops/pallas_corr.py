@@ -214,6 +214,234 @@ def _kernel(n: int, n1: int, n2: int, r_cap: int, T: int,
     return kern
 
 
+def _sums_kernel(n: int, n1: int, n2: int, r_cap: int, T: int,
+                 rows_w: int, rows_t: int, precision):
+    """corr_dots + EXACT sliding window sums in one fused chain.
+
+    The trigger search (dots) runs the packed six-step forward/inverse at
+    ``precision``.  The sliding-sum normalizers (processor.rs:441-475) are
+    NOT transforms at all here: an in-VMEM cumsum (0/1 triangular dots —
+    exact at HIGHEST, the data mantissa splits across the passes) plus
+    per-stream one-hot shift MATMULS (0/1 matrices, batched on the MXU —
+    no serial per-row rolls) read ``cs[o+klen-1] - cs[o-1]`` for every
+    searched lag, so ``sx``/``sxx`` are exact f32-class, 3 transforms
+    cheaper than computing them as mask-correlations, and the region mean
+    rides along as a one-hot prefix read.
+    """
+    dn_mid = (((1,), (0,)), ((), ()))
+    dn_lane = (((2,), (0,)), ((), ()))
+    dn_b = (((2,), (1,)), ((0,), (0,)))  # batched: contract my dim2, x dim1
+    h1 = n1 // 2
+
+    def kern(*refs):
+        (w_ref, t_ref, klen_ref, wlen_ref, shift_ref,
+         m2, ta, tb, m1, g1cat, twic, twis, g2cat, dcm, alt, sgq,
+         out_d, out_sx, out_sxx, out_wm) = refs
+
+        w3 = w_ref[:]  # [T, rows_w, n1] — known-zero tail rows dropped
+        # forward stage 1 per input (different K), then one batched rest
+        b = jnp.concatenate(
+            [_dot(w3, m2[:rows_w], dn_mid, precision),
+             _dot(t_ref[:], m2[:rows_t], dn_mid, precision)], axis=0
+        )
+        c = b * ta[:] + _half_swap(b) * tb[:]
+        nyv = jnp.sum(c * alt[:], axis=1)  # [2T, 2n2]
+        ny_re = nyv[:, 0:1]
+        ny_im = nyv[:, n2 : n2 + 1]
+        q = _dot(c, m1[:], dn_mid, precision)
+        qt, qb = q[:, :n2, :], q[:, n2:, :]
+        sgn = jnp.concatenate(
+            [jnp.full((1, 1, h1), -1.0, jnp.float32),
+             jnp.full((1, 1, h1), 1.0, jnp.float32)], axis=2
+        )
+        z = qt + sgn * _half_swap(qb)
+        zw, zt = z[:T], z[T:]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (T, n2, n1), 2)
+        lo = (lane < h1).astype(jnp.float32)
+
+        # P = W·conj(T) with the per-stream integer-exact phase anchor
+        u = zw * zt
+        v = _half_swap(zw) * zt
+        a1 = u + _half_swap(u)
+        a2 = v - _half_swap(v)  # [p_im | -p_im]
+        p1 = a1 * lo - a2 * (1.0 - lo)
+        k1g = jax.lax.rem(lane, h1)
+        k2g = jax.lax.broadcasted_iota(jnp.int32, (T, n2, n1), 1)
+        k = k1g * n2 + k2g
+        shift = shift_ref[:].reshape(T, 1, 1).astype(jnp.int32)
+        m = (k * shift) % n
+        ang = (2.0 * np.pi / n) * m.astype(jnp.float32)
+        pb = (2.0 * (1.0 - lo) - 1.0) * jnp.sin(ang)
+        y1 = (p1 * jnp.cos(ang) + _half_swap(p1) * pb) * dcm[:]
+
+        wn_re, wn_im = ny_re[:T], ny_im[:T]
+        tn_re, tn_im = ny_re[T:], ny_im[T:]
+        sgn_s = (1 - 2 * (shift_ref[:] & 1)).astype(jnp.float32)
+        ny1 = (wn_re * tn_re + wn_im * tn_im) * sgn_s / n
+
+        g = _dot(y1, g1cat[:], dn_lane, precision)
+        g_re, g_im = g[:, :, :n1], g[:, :, n1:]
+        h_re = g_re * twic[:] - g_im * twis[:]
+        h_im = g_re * twis[:] + g_im * twic[:]
+        h2 = jnp.concatenate([h_re, h_im], axis=1)
+        o = _dot(h2, g2cat[:], dn_mid, precision)
+        out_d[:] = o + ny1.reshape(T, 1, 1) * sgq[:]
+
+        # ---- exact sliding sums: in-VMEM cumsum + one-hot shift matmuls
+        HI = jax.lax.Precision.HIGHEST  # 0/1 matrices: exact data split
+        w2x = jnp.concatenate([w3, w3 * w3], axis=0)  # [2T, rows_w, n1]
+        triu = (
+            jax.lax.broadcasted_iota(jnp.int32, (n1, n1), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (n1, n1), 1)
+        ).astype(jnp.float32)
+        cs = _dot(w2x, triu, dn_lane, HI)  # inclusive intra-block prefix
+        # block totals broadcast to every lane (row-(n1-1) 0/1 matmul —
+        # lane-1 arrays hit Mosaic layout bugs), then an inclusive
+        # log-step Hillis-Steele scan over the n2 block dim
+        lastrow = (
+            jax.lax.broadcasted_iota(jnp.int32, (n1, n1), 0) == n1 - 1
+        ).astype(jnp.float32)
+        totb = _dot(cs, lastrow, dn_lane, HI)  # all-lane block totals
+        acc = totb
+        step = 1
+        while step < rows_w:
+            acc = acc + jnp.concatenate(
+                [jnp.zeros_like(acc[:, :step]), acc[:, :-step]], axis=1
+            )
+            step *= 2
+        cs = cs + (acc - totb)  # + exclusive block prefix
+
+        # lo[o] = cs_inc[o-1]: one static flat shift (lane roll + block fix)
+        a_roll = _lane_roll1(cs)
+        prevb = jnp.concatenate(
+            [jnp.zeros_like(cs[:, :1]), cs[:, :-1]], axis=1
+        )
+        b_roll = _lane_roll1(prevb)
+        lane2 = jax.lax.broadcasted_iota(
+            jnp.int32, (2 * T, rows_w, n1), 2
+        )
+        lo_full = jnp.where(lane2 == 0, b_roll, a_roll)
+
+        # hi[o] = cs_inc[o + klen - 1]: block one-hot + lane one-hot matmuls
+        d1 = (klen_ref[:] - 1).astype(jnp.int32)  # [T, 1]
+        qd = d1 // n1
+        rem = d1 % n1
+        rb = jax.lax.broadcasted_iota(jnp.int32, (T, rows_w, r_cap), 1)
+        rc = jax.lax.broadcasted_iota(jnp.int32, (T, rows_w, r_cap), 2)
+        ohb0 = (rb == rc + qd.reshape(T, 1, 1)).astype(jnp.float32)
+        ohb1 = (rb == rc + 1 + qd.reshape(T, 1, 1)).astype(jnp.float32)
+        ohb0 = jnp.concatenate([ohb0, ohb0], axis=0)
+        ohb1 = jnp.concatenate([ohb1, ohb1], axis=0)
+        csb0 = jax.lax.dot_general(
+            ohb0, cs, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=HI,
+        )  # [2T, r_cap, n1] = cs[·, rb+q, ·]
+        csb1 = jax.lax.dot_general(
+            ohb1, cs, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+        csb2 = jnp.concatenate([csb0, csb1], axis=2)  # [2T, r_cap, 2n1]
+        li = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * n1, n1), 1)
+        lj = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * n1, n1), 2)
+        ohl = (li == lj + rem.reshape(T, 1, 1)).astype(jnp.float32)
+        ohl = jnp.concatenate([ohl, ohl], axis=0)
+        hi_full = jax.lax.dot_general(
+            csb2, ohl, dimension_numbers=dn_b,
+            preferred_element_type=jnp.float32, precision=HI,
+        )  # [2T, r_cap, n1]
+        sums = hi_full - lo_full[:, :r_cap, :]
+        out_sx[:] = sums[:T]
+        out_sxx[:] = sums[T:]
+
+        # region mean prefix read: cs_inc[wlen-1] over the work half
+        flat = jax.lax.broadcasted_iota(
+            jnp.int32, (T, rows_w, n1), 1
+        ) * n1 + jax.lax.broadcasted_iota(jnp.int32, (T, rows_w, n1), 2)
+        wl1 = wlen_ref[:].reshape(T, 1, 1).astype(jnp.int32) - 1
+        wsel = cs[:T] * (flat == wl1).astype(jnp.float32)
+        out_wm[:] = jnp.sum(
+            jnp.sum(wsel, axis=2, keepdims=True), axis=1
+        )
+
+    return kern
+
+
+def _lane_roll1(x):
+    """Static +1 roll along the lane dim: out[.., l] = x[.., l-1] (cyclic)."""
+    if _interpret():
+        return jnp.roll(x, 1, axis=x.ndim - 1)
+    return pltpu.roll(x, 1, axis=x.ndim - 1)
+
+
+def corr_dots_sums(work, tmpl, klen, wlen, shift, nfft: int, out_len: int,
+                   row_tile: int = 16,
+                   precision=jax.lax.Precision.HIGHEST):
+    """Fused trigger search + exact sliding window sums + region mean.
+
+    Returns ``(dots, sx, sxx, wmean)``; dots/sx/sxx are ``[S, out_len]``,
+    wmean is ``[S]``:
+      ``dots[s,o]  = Σ_k work[s, o+shift[s]+k]·tmpl[s,k]``  (six-step FFT)
+      ``sx[s,o]    = Σ_{k<klen[s]} work[s, o+k]``      (exact, via cumsum)
+      ``sxx[s,o]   = Σ_{k<klen[s]} work²[s, o+k]``     (exact, via cumsum)
+      ``wmean[s]   = Σ_{i<wlen[s]} work[s, i] / wlen[s]``
+    """
+    s, lw = work.shape
+    lt = tmpl.shape[1]
+    n1, n2 = _factors(nfft)
+    r_cap = -(-out_len // n1)
+    T = min(row_tile, s)
+    rows = -(-s // T) * T
+    # row counts rounded to a sublane multiple (Mosaic relayouts whole
+    # tiles when the second-minor block dim is not a multiple of 8)
+    rows_w = min(-(-lw // (8 * n1)) * 8, n2)
+    rows_t = min(-(-lt // (8 * n1)) * 8, n2)
+    # hi reads need block rb + klen//n1 + 1 < rows_w for every valid lag
+    assert r_cap + (lt - 1) // n1 + 1 <= rows_w, (r_cap, lt, rows_w)
+
+    def grid3(x, rx):
+        pad = [(0, rows - s), (0, rx * n1 - x.shape[1])]
+        x = jnp.pad(x, pad) if any(p[1] for p in pad) else x
+        return x.reshape(rows, rx, n1)
+
+    w3 = grid3(work.astype(jnp.float32), rows_w)
+    t3 = grid3(tmpl.astype(jnp.float32), rows_t)
+    kl = jnp.pad(klen.astype(jnp.int32), (0, rows - s)).reshape(rows, 1)
+    wl = jnp.pad(wlen.astype(jnp.int32), (0, rows - s)).reshape(rows, 1)
+    sh = jnp.pad(shift.astype(jnp.int32), (0, rows - s)).reshape(rows, 1)
+
+    consts = _consts(nfft, r_cap)
+    tile_w = pl.BlockSpec((T, rows_w, n1), lambda i: (i, 0, 0))
+    tile_t = pl.BlockSpec((T, rows_t, n1), lambda i: (i, 0, 0))
+    row1 = pl.BlockSpec((T, 1), lambda i: (i, 0))
+    const_spec = [
+        pl.BlockSpec(c.shape, lambda i, nd=c.ndim: (0,) * nd) for c in consts
+    ]
+    out_qr = pl.BlockSpec((T, n1, r_cap), lambda i: (i, 0, 0))
+    out_rq = pl.BlockSpec((T, r_cap, n1), lambda i: (i, 0, 0))
+    dots, sx, sxx, wm = pl.pallas_call(
+        _sums_kernel(nfft, n1, n2, r_cap, T, rows_w, rows_t, precision),
+        grid=(rows // T,),
+        in_specs=[tile_w, tile_t, row1, row1, row1, *const_spec],
+        out_specs=[out_qr, out_rq, out_rq,
+                   pl.BlockSpec((T, 1), lambda i: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((rows, n1, r_cap), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, r_cap, n1), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, r_cap, n1), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, 1), jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+    )(w3, t3, kl, wl, sh, *[jnp.asarray(c) for c in consts])
+    dots = jnp.swapaxes(dots, 1, 2).reshape(rows, r_cap * n1)[:s, :out_len]
+    sx = sx.reshape(rows, r_cap * n1)[:s, :out_len]
+    sxx = sxx.reshape(rows, r_cap * n1)[:s, :out_len]
+    wmean = wm.reshape(rows)[:s] / jnp.maximum(wlen.astype(jnp.float32), 1.0)
+    return dots, sx, sxx, wmean
+
+
 def corr_dots(work, tmpl, shift, nfft: int, out_len: int, row_tile: int = 16,
               precision=jax.lax.Precision.HIGHEST):
     """Fused sliding correlation: returns ``[S, out_len]`` with
@@ -230,27 +458,28 @@ def corr_dots(work, tmpl, shift, nfft: int, out_len: int, row_tile: int = 16,
     r_cap = -(-out_len // n1)
     T = min(row_tile, s)
     rows = -(-s // T) * T
-    rows_w = min(-(-lw // n1), n2)
-    rows_t = min(-(-lt // n1), n2)
+    rows_w = min(-(-lw // (8 * n1)) * 8, n2)
+    rows_t = min(-(-lt // (8 * n1)) * 8, n2)
 
-    def grid3(x):
-        pad = [(0, rows - s), (0, nfft - x.shape[1])]
+    def grid3(x, rx):
+        pad = [(0, rows - s), (0, rx * n1 - x.shape[1])]
         x = jnp.pad(x, pad) if any(p[1] for p in pad) else x
-        return x.reshape(rows, n2, n1)
+        return x.reshape(rows, rx, n1)
 
-    w3 = grid3(work.astype(jnp.float32))
-    t3 = grid3(tmpl.astype(jnp.float32))
+    w3 = grid3(work.astype(jnp.float32), rows_w)
+    t3 = grid3(tmpl.astype(jnp.float32), rows_t)
     sh = jnp.pad(shift.astype(jnp.int32), (0, rows - s)).reshape(rows, 1)
 
     consts = _consts(nfft, r_cap)
-    tile3 = pl.BlockSpec((T, n2, n1), lambda i: (i, 0, 0))
+    tile_w = pl.BlockSpec((T, rows_w, n1), lambda i: (i, 0, 0))
+    tile_t = pl.BlockSpec((T, rows_t, n1), lambda i: (i, 0, 0))
     const_spec = [
         pl.BlockSpec(c.shape, lambda i, nd=c.ndim: (0,) * nd) for c in consts
     ]
     out, _ny = pl.pallas_call(
         _kernel(nfft, n1, n2, r_cap, T, rows_w, rows_t, precision),
         grid=(rows // T,),
-        in_specs=[tile3, tile3, pl.BlockSpec((T, 1), lambda i: (i, 0)),
+        in_specs=[tile_w, tile_t, pl.BlockSpec((T, 1), lambda i: (i, 0)),
                   *const_spec],
         out_specs=[pl.BlockSpec((T, n1, r_cap), lambda i: (i, 0, 0)),
                    pl.BlockSpec((T, 1), lambda i: (i, 0))],

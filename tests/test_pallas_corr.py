@@ -73,3 +73,42 @@ def test_corr_dots_row_padding_and_odd_batch():
     want = _reference(work, tmpl, shift, nfft, out)
     assert got.shape == (s, out)
     assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+
+
+def test_corr_dots_sums_matches_reference():
+    """Fused dots+sliding-sums kernel vs direct numpy windows."""
+    from openmeters_tpu.ops.pallas_corr import corr_dots_sums
+
+    rng = np.random.default_rng(7)
+    s, wcap, kcap, out_len, nfft = 6, 7200, 4800, 2401, 8192
+    work = rng.standard_normal((s, wcap)).astype(np.float32)
+    tmpl = rng.standard_normal((s, kcap)).astype(np.float32)
+    klen = rng.integers(1920, kcap + 1, s).astype(np.int32)
+    mask = (np.arange(kcap)[None, :] < klen[:, None]).astype(np.float32)
+    shift = rng.integers(-1440, 1, s).astype(np.int32)
+
+    wlen = np.minimum(klen + 1000, wcap).astype(np.int32)
+    dots, sx, sxx, wmean = (
+        np.asarray(o)
+        for o in corr_dots_sums(
+            jnp.asarray(work), jnp.asarray(tmpl), jnp.asarray(klen),
+            jnp.asarray(wlen), jnp.asarray(shift), nfft, out_len,
+        )
+    )
+    for i in range(s):
+        ref_wm = float(work[i, : wlen[i]].sum() / wlen[i])
+        assert abs(wmean[i] - ref_wm) < 1e-4 * max(abs(ref_wm), 1.0)
+
+    wp = np.pad(work, ((0, 0), (0, nfft - wcap)))
+    tp = np.pad(tmpl, ((0, 0), (0, nfft - kcap)))
+    mp = np.pad(mask, ((0, 0), (0, nfft - kcap)))
+    for i in range(s):
+        for o in (0, 1, 17, 1000, out_len - 1):
+            idx = (o + shift[i] + np.arange(nfft)) % nfft
+            ref = float(np.dot(wp[i, idx], tp[i]))
+            assert abs(dots[i, o] - ref) < 2e-2 + 1e-4 * abs(ref), (i, o)
+            idx0 = (o + np.arange(nfft)) % nfft
+            ref_sx = float(np.dot(wp[i, idx0], mp[i]))
+            ref_sxx = float(np.dot(wp[i, idx0] ** 2, mp[i]))
+            assert abs(sx[i, o] - ref_sx) < 2e-2 + 1e-4 * abs(ref_sx)
+            assert abs(sxx[i, o] - ref_sxx) < 1e-4 * max(abs(ref_sxx), 1.0)
