@@ -199,6 +199,58 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_precompile(args) -> int:
+    """Populate the persistent compilation cache for a serving config.
+
+    The flagship sliding-reassigned engine step compiles in minutes cold
+    (NOTES r4); running this once at deploy time (same config, same JAX
+    version) lets the actual `serve` process start against a warm cache.
+    The cache keys on the HLO + compile flags, which are stable across
+    processes; point JAX_COMPILATION_CACHE_DIR at a shared path (default
+    here: ~/.cache/openmeters_tpu/jax).
+    """
+    import os
+    import time
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/openmeters_tpu/jax"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    from openmeters_tpu.analyzers.spectrogram import SpectrogramConfig
+    from openmeters_tpu.engine import EngineConfig
+    from openmeters_tpu.serve import MeterServer, ServeConfig
+
+    if args.config == "default":
+        engine_cfg = EngineConfig(channels=2)
+    else:
+        engine_cfg = EngineConfig(
+            channels=2,
+            spectrogram=SpectrogramConfig(
+                fft_size=2048, hop_size=64, use_reassignment=False
+            ),
+            spectrum=None,
+        )
+    t0 = time.perf_counter()
+    server = MeterServer(
+        ServeConfig(
+            n_streams=args.streams, channels=2, engine=engine_cfg,
+            scan_hops=args.scan_hops,
+        )
+    )
+    dt = time.perf_counter() - t0
+    server.close()
+    print(json.dumps({
+        "compile_s": round(dt, 2),
+        "cache_dir": os.environ["JAX_COMPILATION_CACHE_DIR"],
+        "config": args.config,
+        "streams": args.streams,
+        "scan_hops": args.scan_hops,
+    }))
+    return 0
+
+
 def cmd_settings(args) -> int:
     from openmeters_tpu.engine import EngineConfig
     from openmeters_tpu.persistence import encode_settings, write_json_atomic
@@ -292,6 +344,19 @@ def main(argv=None) -> int:
                     help="carry checkpoint path: restore on start if it "
                     "exists; save on exit and on SIGTERM/SIGINT")
     pv.set_defaults(fn=cmd_serve)
+
+    pp = sub.add_parser(
+        "precompile",
+        help="trace+compile the engine step into the persistent JAX "
+        "compilation cache, so a production `serve` starts warm",
+    )
+    pp.add_argument("--streams", type=int, default=256)
+    pp.add_argument("--scan-hops", type=int, default=1)
+    pp.add_argument("--config", choices=["serve", "default"], default="serve",
+                    help="'serve': the serve command's engine config; "
+                    "'default': the stock EngineConfig() (all six analyzers, "
+                    "reassignment on)")
+    pp.set_defaults(fn=cmd_precompile)
 
     ps = sub.add_parser("settings", help="settings utilities")
     ps.add_argument("--init", required=True, help="write default settings JSON")

@@ -230,6 +230,11 @@ def reassigned_sliding_hop(
             *[jax.ShapeDtypeStruct((sp, bins), jnp.float32)] * _STATE,
             *[jax.ShapeDtypeStruct((sp, bins), jnp.float32)] * (3 * cols),
         ],
+        # donate the 8 state buffers to the 8 new-state outputs: each grid
+        # step reads its input tile before writing the aliased output tile,
+        # and in-place update lets XLA drop the per-hop carry copies
+        # (8 x [S, bins] HBM copies measured around this call)
+        input_output_aliases={i + 1: i for i in range(_STATE)},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),  # stream tiles independent
             # eight states + twelve column outputs + the fused delta matrix

@@ -37,7 +37,9 @@ class SlidingSTFT:
     hop: int
     block: int
     window: WindowKind
-    refresh_steps: int = 8
+    # 32-hop exact re-anchor: drift ~4e-6 relative stays far under the
+    # u16 dB code step; 4x cheaper amortized re-anchor cond
+    refresh_steps: int = 32
 
     @property
     def bins(self) -> int:
