@@ -93,9 +93,18 @@ class OscilloscopeConfig:
     channel_1: Channel = Channel.MID
     channel_2: Channel = Channel.NONE
     block_frames: int = 256
-    # Trigger cadence in hops: 1 = every ingest hop (187 Hz @48k/256 — above
-    # the reference's effective ~60 Hz UI rate); 3 ~= display rate, 3x cheaper.
+    # Trigger cadence in hops: 1 = every ingest hop — the reference's
+    # per-processed-block evaluation (processor.rs:93-181); 3 ~= display
+    # rate, a coarser compromise.
     trigger_every: int = 1
+    # Capture-window EXTRACTION cadence in hops.  The reference evaluates
+    # its trigger per block but the UI samples the capture at the frame
+    # clock (~60 Hz, ui/widgets/frame_clock.rs:102-118) — 187.5 hops/s at
+    # 48k/256 makes 3 hops ≈ 62 fps.  Trigger state (lock, period, capture
+    # position) still updates every trigger_every hops; only the [S, 2,
+    # window_cap] trace window read is display-rate.  Set to 1 to extract
+    # every trigger evaluation.
+    snapshot_every: int = 3
 
 
 class OscilloscopeSnapshot(NamedTuple):
@@ -217,6 +226,19 @@ class OscilloscopeAnalyzer:
         )
 
     @property
+    def snap_cadence(self) -> int:
+        """Hops between capture-window extractions (frame-clock analogue)."""
+        return max(int(self.config.snapshot_every), 1)
+
+    @property
+    def holds_snap(self) -> bool:
+        """Whether the carry holds the last extracted snapshot (any cadence
+        coarser than the hop — trigger or extraction)."""
+        return (
+            max(int(self.config.trigger_every), 1) > 1 or self.snap_cadence > 1
+        )
+
+    @property
     def corr_fft(self) -> int:
         # Circular FFT cross-correlation is exact (no wraparound) at offset j
         # when j + k < nfft for every template tap k < klen: valid offsets
@@ -311,7 +333,7 @@ class OscilloscopeAnalyzer:
             carry["pspec_re"] = jnp.zeros((lanes, bins), jnp.float32)
             carry["pspec_im"] = jnp.zeros((lanes, bins), jnp.float32)
             carry["panchored"] = jnp.zeros((), bool)
-        if max(int(self.config.trigger_every), 1) > 1:
+        if self.holds_snap:
             carry["snap"] = {
                 "samples": jnp.zeros((s, TRACE_COUNT, self.window_cap), jnp.float32),
                 "trace_valid": jnp.zeros((s, TRACE_COUNT), bool),
@@ -340,7 +362,7 @@ class OscilloscopeAnalyzer:
             specs["pspec_re"] = P(axis, None)
             specs["pspec_im"] = P(axis, None)
             specs["panchored"] = P()
-        if max(int(self.config.trigger_every), 1) > 1:
+        if self.holds_snap:
             specs["snap"] = {
                 "samples": P(axis, None, None),
                 "trace_valid": P(axis, None),
@@ -841,6 +863,16 @@ class OscilloscopeAnalyzer:
                 state[k] = jnp.where(
                     rml[:, None] if state[k].ndim == 2 else rml, z, state[k]
                 )
+            if self.holds_snap:
+                # a held capture from before the reset must not survive it
+                carry = dict(carry)
+                carry["snap"] = {
+                    k: jnp.where(
+                        rm.reshape((-1,) + (1,) * (v.ndim - 1)),
+                        jnp.zeros_like(v), v,
+                    )
+                    for k, v in carry["snap"].items()
+                }
         fresh = jnp.minimum(fresh + b, jnp.int32(2**30))
 
         # project and append to the rotated double-write history ring:
@@ -939,7 +971,7 @@ class OscilloscopeAnalyzer:
                 "panchored": jnp.ones((), bool),
             }
 
-        def run_trigger(state):
+        def run_trigger_state(state):
             if cfg.trigger_mode is TriggerMode.ZERO_CROSSING:
                 # positional-mask scan needs the right-aligned view
                 view = jax.lax.dynamic_slice(
@@ -951,8 +983,11 @@ class OscilloscopeAnalyzer:
                 new_state, capture = self._stable_capture(
                     state, trig_flat, fresh_lane, shift, pspec=pspec
                 )
-            cap2 = {k: v.reshape(s, n_trig) for k, v in capture.items()}
+            return new_state, {
+                k: v.reshape(s, n_trig) for k, v in capture.items()
+            }
 
+        def extract_snap(cap2):
             def trace_cap(key, t):
                 """Per-trace capture: its own lane when independent, else the
                 single linked lane (processor.rs:684-700)."""
@@ -993,26 +1028,48 @@ class OscilloscopeAnalyzer:
                 spans.append(trace_cap("span", t))
                 starts_o.append(trace_cap("start", t))
                 fracs.append(trace_cap("frac", t))
-            snap = {
+            return {
                 "samples": jnp.stack(samples, axis=1),
                 "trace_valid": jnp.stack(valids, axis=1),
                 "span": jnp.stack(spans, axis=1),
                 "start": jnp.stack(starts_o, axis=1),
                 "frac": jnp.stack(fracs, axis=1),
             }
-            return new_state, snap
 
         tick = carry["tick"]
         every = max(int(cfg.trigger_every), 1)
+        snap_every = self.snap_cadence
+
+        def hold_snap(_):
+            # the history window slid by one block since extraction: age the
+            # positional metadata so start/frac keep meaning "where in the
+            # CURRENT window the capture began"
+            held = dict(carry["snap"])
+            held["start"] = held["start"] - jnp.int32(b)
+            return held
+
         if every == 1:
-            new_state, snap = run_trigger(state)
+            new_state, cap2 = run_trigger_state(state)
+            if snap_every == 1:
+                snap = extract_snap(cap2)
+            else:
+                # trigger state updates every hop (processor.rs per-block
+                # evaluation); the trace-window READ happens at the frame
+                # clock's cadence (frame_clock.rs:102-118, ~60 Hz)
+                snap = jax.lax.cond(
+                    tick % snap_every == 0, extract_snap, hold_snap, cap2
+                )
         else:
             # trigger cadence decoupled from the ingest hop (the reference
             # evaluates per UI frame ~60 Hz, below the 187 Hz hop rate)
+            def run_full(st):
+                ns, cap2 = run_trigger_state(st)
+                return ns, extract_snap(cap2)
+
             new_state, snap = jax.lax.cond(
                 tick % every == 0,
-                run_trigger,
-                lambda st: (st, carry["snap"]),  # hold the previous capture
+                run_full,
+                lambda st: (st, hold_snap(None)),  # hold the previous capture
                 state,
             )
 
@@ -1042,7 +1099,7 @@ class OscilloscopeAnalyzer:
             **new_pspec,
             **new_state,
         }
-        if every > 1:
+        if self.holds_snap:
             new_carry["snap"] = snap
         return new_carry, OscilloscopeSnapshot(
             samples=snap["samples"],

@@ -286,7 +286,9 @@ def _sums_kernel(n: int, n1: int, n2: int, r_cap: int, T: int,
         h_im = g_re * twis[:] + g_im * twic[:]
         h2 = jnp.concatenate([h_re, h_im], axis=1)
         o = _dot(h2, g2cat[:], dn_mid, precision)
-        out_d[:] = o + ny1.reshape(T, 1, 1) * sgq[:]
+        # write lag-ordered [r, q] directly: the in-VMEM transpose replaces
+        # an XLA-side [S, n1, r_cap] copy per output
+        out_d[:] = jnp.swapaxes(o + ny1.reshape(T, 1, 1) * sgq[:], 1, 2)
 
         # ---- exact sliding sums: in-VMEM cumsum + one-hot shift matmuls
         HI = jax.lax.Precision.HIGHEST  # 0/1 matrices: exact data split
@@ -417,15 +419,14 @@ def corr_dots_sums(work, tmpl, klen, wlen, shift, nfft: int, out_len: int,
     const_spec = [
         pl.BlockSpec(c.shape, lambda i, nd=c.ndim: (0,) * nd) for c in consts
     ]
-    out_qr = pl.BlockSpec((T, n1, r_cap), lambda i: (i, 0, 0))
     out_rq = pl.BlockSpec((T, r_cap, n1), lambda i: (i, 0, 0))
     dots, sx, sxx, wm = pl.pallas_call(
         _sums_kernel(nfft, n1, n2, r_cap, T, rows_w, rows_t, precision),
         grid=(rows // T,),
         in_specs=[tile_w, tile_t, row1, row1, row1, *const_spec],
-        out_specs=[out_qr, out_rq, out_rq,
+        out_specs=[out_rq, out_rq, out_rq,
                    pl.BlockSpec((T, 1), lambda i: (i, 0))],
-        out_shape=[jax.ShapeDtypeStruct((rows, n1, r_cap), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((rows, r_cap, n1), jnp.float32),
                    jax.ShapeDtypeStruct((rows, r_cap, n1), jnp.float32),
                    jax.ShapeDtypeStruct((rows, r_cap, n1), jnp.float32),
                    jax.ShapeDtypeStruct((rows, 1), jnp.float32)],
@@ -435,7 +436,7 @@ def corr_dots_sums(work, tmpl, klen, wlen, shift, nfft: int, out_len: int,
             vmem_limit_bytes=100 * 2**20,
         ),
     )(w3, t3, kl, wl, sh, *[jnp.asarray(c) for c in consts])
-    dots = jnp.swapaxes(dots, 1, 2).reshape(rows, r_cap * n1)[:s, :out_len]
+    dots = dots.reshape(rows, r_cap * n1)[:s, :out_len]
     sx = sx.reshape(rows, r_cap * n1)[:s, :out_len]
     sxx = sxx.reshape(rows, r_cap * n1)[:s, :out_len]
     wmean = wm.reshape(rows)[:s] / jnp.maximum(wlen.astype(jnp.float32), 1.0)

@@ -238,9 +238,13 @@ class SlidingReassigned:
         x_win = jax.lax.dynamic_slice(
             buf, (jnp.int32(0), seg_start), (buf.shape[0], win)
         )
+        # HIGH: the FIR Hilbert approximation's own truncation error
+        # (~1/(pi*margin)) dominates bf16x3 rounding by orders of
+        # magnitude, and every consumer is a spectra RATIO with loose
+        # physics bars (2 Hz / 1e-4 hop / 1%)
         emit = jnp.einsum(
             "sw,wb->sb", x_win, jnp.asarray(self._hilbert_matrix()),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         )
         e0 = (info["origin_next"] - self.margin - b) % cap
         hx = jax.lax.dynamic_update_slice(state["hx"], emit, (jnp.int32(0), e0))

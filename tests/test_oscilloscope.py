@@ -217,7 +217,11 @@ def test_stable_trigger_limits_phase_jitter(name, wave):
         blk = signal[i * BLOCK : (i + 1) * BLOCK]
         stereo = np.stack([blk, blk], axis=-1)[None]
         carry, snap = ana.step(carry, stereo)
-        if 20 <= i < 60 and bool(snap.locked[0, 0]):
+        # warmup covers template-EMA convergence plus one frame-clock
+        # period: captures are extracted at display cadence
+        # (snapshot_every), so the first measured capture can be up to
+        # snapshot_every-1 hops older than the lock check
+        if 24 <= i < 60 and bool(snap.locked[0, 0]):
             # absolute capture position = samples consumed so far - hist + start
             consumed = (i + 1) * BLOCK
             pos = (
