@@ -5,7 +5,7 @@ import time
 import numpy as np
 
 from openmeters_tpu.analyzers.spectrogram import SpectrogramConfig
-from openmeters_tpu.engine import EngineConfig
+from openmeters_tpu.engine import EngineConfig, MeterEngine, StreamMeta
 from openmeters_tpu.ingest import Feeder
 from openmeters_tpu.serve import MeterServer, ServeConfig, ingest_benchmark
 
@@ -341,3 +341,70 @@ def test_serve_checkpoint_resume_continuous_lufs(tmp_path):
     assert np.all(np.abs(l2 - l1) < 0.3), (l1, l2)
     # control: only the quiet tail exists -> ~20 LU lower
     assert np.all(l3 < l1 - 15.0), (l1, l3)
+
+
+def test_multi_rate_co_residency_at_scale():
+    """Non-tiny co-residency: 64 streams per rate bucket stepped inside ONE
+    jitted function (the tools/bench_multirate.py structure — both buckets
+    on the same chip exactly as MultiRateMeterServer's back-to-back
+    dispatches, meter.rs:20-25).  Each bucket's momentary LUFS must read its
+    own producers' levels: a -6 dBFS 997 Hz tone at 44.1k and a -20 dBFS
+    tone at 48k stay separated per bucket across all 128 streams."""
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import sine_wave
+
+    s = 64
+    engines = {
+        r: MeterEngine(
+            EngineConfig.at_rate(
+                r, channels=2,
+                spectrogram=None, spectrum=None,
+                oscilloscope=None, stereometer=None, waveform=None,
+            )
+        )
+        for r in (44_100.0, 48_000.0)
+    }
+    amps = {44_100.0: 10 ** (-6.0 / 20.0), 48_000.0: 10 ** (-20.0 / 20.0)}
+    hops = 120  # >0.4 s of tone in both buckets
+
+    blocks, metas, resets, carries = {}, {}, {}, {}
+    for r, eng in engines.items():
+        b = eng.config.block_frames
+        tone = sine_wave(997.0, r, b * hops, amp=amps[r]).astype(np.float32)
+        blk = tone.reshape(hops, 1, b, 1)
+        blocks[r] = jnp.asarray(
+            np.broadcast_to(blk, (hops, s, b, 1)) * np.ones((1, 1, 1, 2), np.float32)
+        )
+        metas[r] = StreamMeta.default(s, channels=2, pad_channels=2)
+        resets[r] = np.zeros((s,), bool)
+        carries[r] = eng.init(s)
+
+    rates = sorted(engines)
+
+    @jax.jit
+    def run(c44, c48, b44, b48):
+        def body(cs, i):
+            c44, c48 = cs
+            c44, sn44 = engines[rates[0]].step(
+                c44, b44[i], metas[rates[0]], resets[rates[0]]
+            )
+            c48, sn48 = engines[rates[1]].step(
+                c48, b48[i], metas[rates[1]], resets[rates[1]]
+            )
+            return (c44, c48), (
+                sn44["loudness"].momentary_lufs, sn48["loudness"].momentary_lufs
+            )
+        return jax.lax.scan(body, (c44, c48), jnp.arange(hops))
+
+    _, (m44, m48) = run(
+        carries[rates[0]], carries[rates[1]], blocks[rates[0]], blocks[rates[1]]
+    )
+    m44 = np.asarray(m44)[-1]  # [s] final momentary per stream
+    m48 = np.asarray(m48)[-1]
+    # stereo 997 Hz tone at -6/-20 dBFS reads -6/-20 LUFS (selftest anchor)
+    assert np.all(np.abs(m44 - m44[0]) < 1e-3), "bucket 44.1k not uniform"
+    assert np.all(np.abs(m48 - m48[0]) < 1e-3), "bucket 48k not uniform"
+    assert abs(float(m44[0]) - float(m48[0]) - 14.0) < 0.3, (m44[0], m48[0])
+    assert abs(float(m44[0]) + 6.0) < 0.5, m44[0]
