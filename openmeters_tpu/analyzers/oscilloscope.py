@@ -634,8 +634,6 @@ class OscilloscopeAnalyzer:
                 work, template, klen, wlen, -off, nfft, scap + 1
             )
 
-            def dots_edges():  # rare-event redo path (reference reset)
-                return corr_dots(work, edges, -off, nfft, scap + 1)
         else:
             stacked = jnp.concatenate(
                 [work, jnp.pad(template, ((0, 0), (0, wcap - kcap)))], axis=0
@@ -656,8 +654,6 @@ class OscilloscopeAnalyzer:
 
             dots_m = dots_of(sf[s:])
 
-            def dots_edges():
-                return dots_of(rfft_mxu(edges, nfft))
 
             # sliding window sums from ONE batched MXU cumsum over
             # [work; work²]: sx[o] = cs[o + klen] - cs[o] — one Pallas
@@ -746,29 +742,20 @@ class OscilloscopeAnalyzer:
         match = _norm_corr_single(reference, cand, kmask)
         do_reset = can_locate & confident & use_reference & (match < RESET_BELOW_MATCH)
 
-        # re-search without reference where reset fired (rare-event cost
-        # under the cond — batching the edge rows into the main transforms
-        # always-on measured WORSE at S=1024: +2.5 ms of extra FFT rows and
-        # double picks vs ~0.4 ms amortized here)
-        def redo(args):
-            best0, frac0, cand0 = args
-            dots_e = dots_edges()
-            best_e, frac_e = pick(scores_of(dots_e, edges))
-            best1 = jnp.where(do_reset, best_e, best0)
-            frac1 = jnp.where(do_reset, frac_e, frac0)
-            cmean1 = jnp.where(do_reset, cmean_at(best_e), cmean_b)
-            cand1 = jnp.where(
-                do_reset[:, None], candidate_at(best1, cmean1), cand0
-            )
-            return best1, frac1, cand1
-
-        best, frac, cand = jax.lax.cond(
-            jnp.any(do_reset), redo, lambda args: args, (best, frac, cand)
-        )
+        # DEFERRED reset (one-hop): clear the reference now and suppress its
+        # rebuild; the NEXT hop's search runs with the pure edge template
+        # (use_reference is False) and re-seeds the reference from that
+        # candidate — the reference's same-hop re-search
+        # (processor.rs:509-527) delayed by one 5.3 ms hop.  The original
+        # same-hop redo lived under a lax.cond as a "rare event", but at
+        # S=1024 streams SOME stream resets nearly every hop, so the
+        # whole-batch redo (a second fused search kernel + re-pick)
+        # amortized to ~0.6 ms/hop; the display samples captures at ~60 Hz,
+        # so the one stale alignment is typically never rendered.
         reference = jnp.where(do_reset[:, None], 0.0, reference)
 
         # reference update (processor.rs:500-507)
-        upd = can_locate & confident
+        upd = can_locate & confident & ~do_reset
         refpeak = jnp.max(jnp.abs(reference), axis=-1)
         ref_norm = reference / jnp.maximum(refpeak, NORMALIZE_FLOOR)[:, None]
         new_ref = ref_norm + BUFFER_RESPONSIVENESS * (cand - ref_norm)
