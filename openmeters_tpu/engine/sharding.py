@@ -64,10 +64,16 @@ def make_multihost_mesh(n_hosts: int, per_host: int) -> Mesh:
 
 
 def _snapshot_pspecs(engine, axis):
-    """Snapshot PartitionSpecs, derived mechanically: trace the step at two
+    """Snapshot PartitionSpecs, derived mechanically: trace the step at three
     stream counts and mark the dims that scale with ``n_streams`` as the
     stream dims (covers lane-flattened layouts like the oscilloscope's
-    ``[S * n_trig]`` without per-analyzer annotations)."""
+    ``[S * n_trig]`` without per-analyzer annotations).
+
+    Three trace points (8, 16, 24) + an exact cross-multiplied
+    proportionality check reject dims that merely *correlate* with the
+    stream count — an affine ``k*S + c`` or nonlinear dim would concatenate
+    to the wrong global shape under ``shard_map``'s local->global shape rule,
+    so it must fail loudly at trace time, not silently at reassembly."""
     from openmeters_tpu.engine.engine import StreamMeta
 
     def shapes(s):
@@ -85,13 +91,26 @@ def _snapshot_pspecs(engine, axis):
         _, snaps = jax.eval_shape(engine.step, carry, block, meta, reset)
         return snaps
 
-    s1, s2 = 8, 16
-    snaps1, snaps2 = shapes(s1), shapes(s2)
+    s1, s2, s3 = 8, 16, 24
+    snaps1, snaps2, snaps3 = shapes(s1), shapes(s2), shapes(s3)
 
-    def derive(l1, l2):
-        dims = tuple(
-            axis if d1 != d2 else None for d1, d2 in zip(l1.shape, l2.shape)
-        )
+    def derive(l1, l2, l3):
+        dims = []
+        for d1, d2, d3 in zip(l1.shape, l2.shape, l3.shape):
+            if d1 == d2 == d3:
+                dims.append(None)
+                continue
+            # exact proportionality through the origin: d(s) = k*s for one
+            # rational k (integer cross-multiplication — no float tolerance)
+            if not (d1 * s2 == d2 * s1 and d1 * s3 == d3 * s1):
+                raise ValueError(
+                    f"snapshot leaf dim scales with n_streams but not "
+                    f"proportionally ({d1}@S={s1}, {d2}@S={s2}, {d3}@S={s3}; "
+                    f"shapes {l1.shape}/{l2.shape}/{l3.shape}); shard_map "
+                    f"would reassemble it to the wrong global shape — give "
+                    f"this leaf an explicit PartitionSpec"
+                )
+            dims.append(axis)
         n_stream_dims = sum(d is not None for d in dims)
         assert n_stream_dims <= 1, (
             f"snapshot leaf {l1.shape}->{l2.shape} scales with n_streams in "
@@ -99,7 +118,7 @@ def _snapshot_pspecs(engine, axis):
         )
         return P(*dims)
 
-    return jax.tree.map(derive, snaps1, snaps2)
+    return jax.tree.map(derive, snaps1, snaps2, snaps3)
 
 
 def sharded_step(engine, mesh: Mesh, donate_carry: bool = False, axis=STREAM_AXIS):

@@ -151,9 +151,17 @@ class FrameBuffer:
         return jnp.stack(frames, axis=1)
 
     def slice(self, info, offset, length: int):
-        """Contiguous ``[lanes, length]`` slice at ``base + offset`` (scalar)."""
+        """Contiguous ``[lanes, length]`` slice at ``base + offset`` (scalar).
+
+        ``offset`` may be negative (sliding-DFT consumers read the ``hop``
+        samples that just left the window at offset ``-hop``): the mirrored
+        double-write makes any logical start position correct via modulo —
+        clipping at 0 instead silently read the *window head* whenever
+        ``base + offset`` went negative (base wraps through 0 every
+        ``cap/block`` steps), corrupting 1-in-``cap/block`` slides."""
+        assert length <= self.cap, (length, self.cap)
         buf = info["buf"]
-        start = jnp.clip(info["base"] + offset, 0, self.ring_len - length)
+        start = (info["base"] + offset) % self.cap
         return jax.lax.dynamic_slice(
             buf, (jnp.int32(0), start), (buf.shape[0], length)
         )

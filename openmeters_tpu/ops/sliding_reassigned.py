@@ -257,7 +257,9 @@ class SlidingReassigned:
         return hx, hx_avail
 
     def _hx_slice(self, hx, info, offset, length: int):
-        start = jnp.clip(info["base"] + offset, 0, self.frames.ring_len - length)
+        # modulo, not clip: offsets may go negative for sliding reads of
+        # samples just left of the window (see FrameBuffer.slice)
+        start = (info["base"] + offset) % self.frames.cap
         return jax.lax.dynamic_slice(
             hx, (jnp.int32(0), start), (hx.shape[0], length)
         )

@@ -315,3 +315,45 @@ def test_windowed_means_incremental_soak_no_drift(rng):
             assert err <= bound, (
                 f"step {i} window {w}: err {err:.3e} > bound {bound:.3e}"
             )
+
+
+def test_sliding_stft_negative_offset_reads_wrap_not_clip(rng):
+    """Regression: the sliding-DFT col-0 delta reads the hop that just LEFT
+    the window (``fb.slice(info, -hop, hop)``).  When the window base wraps
+    through ring slot 0 (every ``cap/block`` steps), the read start goes
+    negative and must wrap into the mirrored half — clipping to 0 silently
+    substituted the window *head*, corrupting the slide until the next
+    exact re-anchor.  hop == block == fft/4 makes base hit 0 periodically;
+    refresh_steps=32 leaves the corruption visible for 28+ hops."""
+    import jax
+
+    from openmeters_tpu.ops.sliding_stft import SlidingSTFT
+    from openmeters_tpu.utils.windows import WindowKind
+
+    fft, hop, block = 1024, 256, 256
+    steps = 40
+    x = rng.standard_normal((1, steps * block)).astype(np.float32)
+
+    def run(refresh_steps):
+        st = SlidingSTFT(fft, hop, block, WindowKind.HANN,
+                         refresh_steps=refresh_steps)
+        fb = st.frames
+        carry = (fb.init(1), st.init(1))
+
+        @jax.jit
+        def step(carry, blk):
+            finfo, sd = carry
+            finfo, info = fb.advance(finfo, blk)
+            sd, power = st.step(sd, info)
+            return (finfo, sd), power
+
+        outs = []
+        for i in range(steps):
+            carry, p = step(carry, jnp.asarray(x[:, i * block:(i + 1) * block]))
+            outs.append(np.asarray(p))
+        return np.concatenate(outs, axis=1)
+
+    exact = run(1)      # re-anchors every hop: per-column exact FFT
+    slid = run(32)      # 31 consecutive slides between anchors
+    scale = float(np.max(exact))
+    np.testing.assert_allclose(slid, exact, atol=1e-3 * scale)

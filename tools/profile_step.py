@@ -71,6 +71,9 @@ def build(name: str):
             stereometer=StereometerConfig(analyze_bands=True),
             waveform=WaveformConfig(analyze_bands=True, track_history=True),
         ),
+        # the literal reference default: all six analyzers, reassignment ON,
+        # 16384-pt spectrum, per-hop trigger (registry.rs:37-240)
+        "default": EngineConfig(channels=2),
     }
     return MeterEngine(cfgs[name])
 
