@@ -55,9 +55,11 @@ MIN_SIGNAL_PEAK = 0.001
 MIN_PERIODICITY = 0.5
 PEAK_CUTOFF = 0.93
 
-# Sliding probe-spectrum exact re-anchor cadence (hops).  f32 slide drift
-# over 8 hops is ~1e-6 relative — far below the NSDF decision thresholds.
-PROBE_REFRESH = 8
+# Sliding probe-spectrum exact re-anchor cadence (hops).  HIGH-precision
+# slide drift over 32 hops stays ~1e-5 relative — far below the NSDF
+# decision thresholds (clarity/periodicity cuts at 0.5-0.93) — and the
+# amortized 8192-pt exact rfft cost drops 4x vs the original cadence of 8.
+PROBE_REFRESH = 32
 
 # StableTrigger constants (processor.rs:285-297)
 WINDOW_SECONDS = 0.04

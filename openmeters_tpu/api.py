@@ -33,10 +33,40 @@ class AnalysisSession:
                 self.n_streams, channels=2, pad_channels=self.engine.config.channels
             )
         self.snapshots: list[dict] = []
+        # cadenced spectrum (hop = R engine blocks): buffer the R blocks of
+        # the current spectrum hop and hold the newest spectrum snapshot
+        # between its hops (the reference keeps processor snapshots across
+        # process_block calls the same way)
+        self._pending_blocks: list[np.ndarray] = []
+        self._pending_resets: list[np.ndarray] = []
+        self._held_spectrum = None
 
     def feed(self, block: np.ndarray, reset_mask=None) -> dict:
         """One hop of ``[n_streams, block_frames, channels]`` audio."""
         self.carry, snaps = self.engine.step(self.carry, block, self.meta, reset_mask)
+        r = self.engine.spectrum_cadence
+        if r > 1:
+            self._pending_blocks.append(np.asarray(block))
+            if reset_mask is not None:
+                self._pending_resets.append(np.asarray(reset_mask, bool))
+            if len(self._pending_blocks) == r:
+                resets = (
+                    np.any(np.stack(self._pending_resets), axis=0)
+                    if self._pending_resets
+                    else None
+                )
+                sp_carry, sp_snap = self.engine.spectrum_step(
+                    self.carry["spectrum"],
+                    np.stack(self._pending_blocks),
+                    self.meta,
+                    resets,
+                )
+                self.carry = dict(self.carry, spectrum=sp_carry)
+                self._held_spectrum = sp_snap
+                self._pending_blocks.clear()
+                self._pending_resets.clear()
+            if self._held_spectrum is not None:
+                snaps = dict(snaps, spectrum=self._held_spectrum)
         return snaps
 
     def run(self, audio: np.ndarray, collect: bool = True) -> list[dict]:

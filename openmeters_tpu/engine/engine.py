@@ -145,6 +145,28 @@ class MeterEngine:
         object.__setattr__(self, "config", self.config.resolve())
 
     @property
+    def spectrum_cadence(self) -> int:
+        """Engine hops per spectrum hop (R).
+
+        The reference's processors each consume at their own hop from the
+        stream buffer (``DspBatcher`` per visual, meter.rs:15-80); the stock
+        spectrum hop (1024) is 4 engine blocks.  When the spectrum hop is a
+        whole multiple of the engine block, the spectrum runs at ITS cadence
+        (:meth:`spectrum_step` every R engine hops) instead of per-hop
+        ``lax.cond`` gating — idle engine hops then touch none of the
+        spectrum state, so the ~270 MB of sliding-spectra + held-dB carry
+        moves zero bytes on 3 of 4 hops (a ``cond`` identity branch copies
+        its whole payload; see NOTES round 4).
+        """
+        sp = self.config.spectrum
+        if not sp:
+            return 1
+        b = self.config.block_frames
+        if sp.hop_size > b and sp.hop_size % b == 0:
+            return sp.hop_size // b
+        return 1
+
+    @property
     def analyzers(self) -> dict:
         cfg = self.config
         out = {}
@@ -153,7 +175,13 @@ class MeterEngine:
         if cfg.spectrogram:
             out["spectrogram"] = SpectrogramAnalyzer(cfg.spectrogram)
         if cfg.spectrum:
-            out["spectrum"] = SpectrumAnalyzer(cfg.spectrum)
+            sp = cfg.spectrum
+            if self.spectrum_cadence > 1:
+                # cadenced: the analyzer ingests one full spectrum hop per
+                # call (block == hop), so every call slides exactly once —
+                # no idle-hop cond, no held-output carry
+                sp = dataclasses.replace(sp, block_frames=sp.hop_size)
+            out["spectrum"] = SpectrumAnalyzer(sp)
         if cfg.oscilloscope:
             from openmeters_tpu.analyzers.oscilloscope import OscilloscopeAnalyzer
 
@@ -199,15 +227,85 @@ class MeterEngine:
                 "spectrogram"
             ].step(carry["spectrogram"], mid, reset_mask)
         if "spectrum" in analyzers:
-            new_carry["spectrum"], snaps["spectrum"] = analyzers["spectrum"].step(
-                carry["spectrum"], stereo, reset_mask=reset_mask
-            )
+            if self.spectrum_cadence > 1:
+                # cadenced: stepped by spectrum_step every R hops; the carry
+                # passes through untouched (donated serving loops alias it
+                # in place — zero copies on idle hops)
+                new_carry["spectrum"] = carry["spectrum"]
+            else:
+                new_carry["spectrum"], snaps["spectrum"] = analyzers[
+                    "spectrum"
+                ].step(carry["spectrum"], stereo, reset_mask=reset_mask)
         for name in ("oscilloscope", "stereometer", "waveform"):
             if name in analyzers:
                 new_carry[name], snaps[name] = analyzers[name].step(
                     carry[name], stereo, reset_mask=reset_mask
                 )
         return new_carry, snaps
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def spectrum_step(self, spectrum_carry, blocks, meta: StreamMeta, reset_mask=None):
+        """One SPECTRUM hop: ``R = spectrum_cadence`` engine blocks at once.
+
+        Args:
+          spectrum_carry: the ``carry["spectrum"]`` subtree.
+          blocks: ``[R, S, B, C]`` — the R engine blocks of this spectrum
+            hop, oldest first.
+          reset_mask: ``[S]`` bool — OR of the R per-hop reset masks.  A
+            mid-window reset is applied at this hop's start; the freshness
+            bookkeeping is conservative by at most R-1 blocks (the same
+            hop-grid re-alignment deviation documented in ops/framing.py).
+
+        Returns ``(spectrum_carry, SpectrumSnapshot)``.
+        """
+        analyzer = self.analyzers["spectrum"]
+        r, s, b, _ = blocks.shape
+        assert r == self.spectrum_cadence, (r, self.spectrum_cadence)
+        stereo = jnp.einsum(
+            "rsbc,sct->srbt", blocks.astype(jnp.float32), meta.fold
+        ).reshape(s, r * b, 2)
+        return analyzer.step(spectrum_carry, stereo, reset_mask=reset_mask)
+
+    def super_step(self, carry: dict, blocks, meta: StreamMeta, resets=None,
+                   fold_snaps=None):
+        """One full cadence super-period: R engine hops + the spectrum hop.
+
+        Args:
+          blocks: ``[R, S, B, C]`` engine blocks, oldest first.
+          resets: ``[R, S]`` bool per-hop reset masks (or None).
+          fold_snaps: optional per-hop reducer applied to each fast hop's
+            snapshots *inside* the scan body.  Without it the fast snapshot
+            leaves come back stacked ``[R, ...]`` — which materializes
+            R copies of every bulk leaf (trace windows, spectrogram columns)
+            through the scan output; throughput harnesses that only need to
+            consume the snapshots should fold them to something small
+            per hop instead.
+
+        Returns ``(carry, snaps)`` where the fast analyzers' snapshots are
+        stacked (or folded) per engine hop and ``snaps["spectrum"]`` is the
+        single spectrum-hop snapshot.  With ``spectrum_cadence == 1`` this
+        is just R scanned engine steps.
+        """
+        r = blocks.shape[0]
+
+        def body(c, xr):
+            blk, rst = xr
+            c, snaps = self.step(c, blk, meta, rst)
+            return c, fold_snaps(snaps) if fold_snaps is not None else snaps
+
+        if resets is None:
+            resets = jnp.zeros((r, blocks.shape[1]), bool)
+        carry, fast_snaps = jax.lax.scan(body, carry, (blocks, resets))
+        if self.spectrum_cadence > 1:
+            assert r == self.spectrum_cadence, (r, self.spectrum_cadence)
+            sp_carry, sp_snap = self.spectrum_step(
+                carry["spectrum"], blocks, meta, jnp.any(resets, axis=0)
+            )
+            carry = dict(carry, spectrum=sp_carry)
+            if fold_snaps is not None:
+                return carry, (fast_snaps, sp_snap)
+            fast_snaps["spectrum"] = sp_snap
+        return carry, fast_snaps
 
     # -- reconfiguration -----------------------------------------------------
 

@@ -63,10 +63,30 @@ def make_multihost_mesh(n_hosts: int, per_host: int) -> Mesh:
     return Mesh(grid, ("dcn", "ici"))
 
 
-def _snapshot_pspecs(engine, axis):
-    """Snapshot PartitionSpecs, derived mechanically: trace the step at three
-    stream counts and mark the dims that scale with ``n_streams`` as the
-    stream dims (covers lane-flattened layouts like the oscilloscope's
+def _trace_args(engine, s, lead=()):
+    """ShapeDtypeStructs for one engine step at ``s`` streams: ``(carry,
+    block[*lead, s, b, c], meta, reset[*lead, s])``."""
+    from openmeters_tpu.engine.engine import StreamMeta
+
+    b = engine.config.block_frames
+    c = engine.config.channels
+    carry = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), engine.init(s)
+    )
+    block = jax.ShapeDtypeStruct((*lead, s, b, c), jnp.float32)
+    meta = StreamMeta(
+        fold=jax.ShapeDtypeStruct((s, c, 2), jnp.float32),
+        weights=jax.ShapeDtypeStruct((s, c), jnp.float32),
+    )
+    reset = jax.ShapeDtypeStruct((*lead, s), jnp.bool_)
+    return carry, block, meta, reset
+
+
+def _derive_pspecs(axis, shapes_fn):
+    """PartitionSpecs derived mechanically: evaluate ``shapes_fn`` (a pytree
+    of ShapeDtypeStructs as a function of the stream count) at three stream
+    counts and mark the dims that scale with ``n_streams`` as the stream
+    dims (covers lane-flattened layouts like the oscilloscope's
     ``[S * n_trig]`` without per-analyzer annotations).
 
     Three trace points (8, 16, 24) + an exact cross-multiplied
@@ -74,25 +94,8 @@ def _snapshot_pspecs(engine, axis):
     stream count — an affine ``k*S + c`` or nonlinear dim would concatenate
     to the wrong global shape under ``shard_map``'s local->global shape rule,
     so it must fail loudly at trace time, not silently at reassembly."""
-    from openmeters_tpu.engine.engine import StreamMeta
-
-    def shapes(s):
-        b = engine.config.block_frames
-        c = engine.config.channels
-        carry = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), engine.init(s)
-        )
-        block = jax.ShapeDtypeStruct((s, b, c), jnp.float32)
-        meta = StreamMeta(
-            fold=jax.ShapeDtypeStruct((s, c, 2), jnp.float32),
-            weights=jax.ShapeDtypeStruct((s, c), jnp.float32),
-        )
-        reset = jax.ShapeDtypeStruct((s,), jnp.bool_)
-        _, snaps = jax.eval_shape(engine.step, carry, block, meta, reset)
-        return snaps
-
     s1, s2, s3 = 8, 16, 24
-    snaps1, snaps2, snaps3 = shapes(s1), shapes(s2), shapes(s3)
+    snaps1, snaps2, snaps3 = shapes_fn(s1), shapes_fn(s2), shapes_fn(s3)
 
     def derive(l1, l2, l3):
         dims = []
@@ -119,6 +122,31 @@ def _snapshot_pspecs(engine, axis):
         return P(*dims)
 
     return jax.tree.map(derive, snaps1, snaps2, snaps3)
+
+
+def _snapshot_pspecs(engine, axis):
+    """Engine-step snapshot PartitionSpecs (see :func:`_derive_pspecs`)."""
+
+    def shapes(s):
+        _, snaps = jax.eval_shape(engine.step, *_trace_args(engine, s))
+        return snaps
+
+    return _derive_pspecs(axis, shapes)
+
+
+def _spectrum_snap_pspecs(engine, axis):
+    """Cadenced-spectrum-step snapshot PartitionSpecs."""
+    r = engine.spectrum_cadence
+
+    def shapes(s):
+        carry, block, meta, reset = _trace_args(engine, s)
+        blocks = jax.ShapeDtypeStruct((r, *block.shape), block.dtype)
+        _, snap = jax.eval_shape(
+            engine.spectrum_step, carry["spectrum"], blocks, meta, reset
+        )
+        return snap
+
+    return _derive_pspecs(axis, shapes)
 
 
 def sharded_step(engine, mesh: Mesh, donate_carry: bool = False, axis=STREAM_AXIS):
@@ -163,21 +191,75 @@ def sharded_step(engine, mesh: Mesh, donate_carry: bool = False, axis=STREAM_AXI
     return step, _placer(mesh, carry_specs)
 
 
+def sharded_spectrum_step(engine, mesh: Mesh, donate_carry: bool = False,
+                          axis=STREAM_AXIS):
+    """The cadenced spectrum hop (``engine.spectrum_step``) over ``mesh``,
+    with the same shard_map zero-collective guarantee as
+    :func:`sharded_step`.  Returns ``fn(spectrum_carry, blocks[R, S, B, C],
+    meta, reset)``."""
+    from openmeters_tpu.engine.engine import StreamMeta
+
+    sp_specs = engine.carry_pspecs(axis)["spectrum"]
+    snap_specs = _spectrum_snap_pspecs(engine, axis)
+    meta_specs = StreamMeta(fold=P(axis, None, None), weights=P(axis, None))
+
+    mapped = jax.shard_map(
+        lambda c, blocks, meta, reset: engine.spectrum_step(
+            c, blocks, meta, reset
+        ),
+        mesh=mesh,
+        in_specs=(sp_specs, P(None, axis, None, None), meta_specs, P(axis)),
+        out_specs=(sp_specs, snap_specs),
+        check_vma=True,
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate_carry else ())
+
+
 def scan_last_snapshot_fn(engine):
     """``fn(carry, blocks[K, S, B, C], meta, resets[K, S])``: K engine hops
     in one on-device scan — the first K-1 snapshots are discarded (XLA
     dead-code-eliminates their compute), the final hop's snapshot is
-    returned.  Shared by ``serve.py``'s unsharded ``--scan-hops`` mode and
+    returned.  With a cadenced spectrum, K must be a multiple of the cadence
+    and the snapshot gains the final spectrum hop's output.  Shared by
+    ``serve.py``'s unsharded ``--scan-hops`` mode and
     :func:`sharded_scan_step`."""
+    r = engine.spectrum_cadence
 
     def scan_fn(carry, blocks, meta, resets):
+        k = blocks.shape[0]
+
         def body(c, xr):
             blk, rst = xr
             c, _ = engine.step(c, blk, meta, rst)
             return c, None
 
         carry, _ = jax.lax.scan(body, carry, (blocks[:-1], resets[:-1]))
-        return engine.step(carry, blocks[-1], meta, resets[-1])
+        carry, snaps = engine.step(carry, blocks[-1], meta, resets[-1])
+        if r > 1:
+            if k % r:
+                raise ValueError(
+                    f"scan_hops ({k}) must be a multiple of the spectrum "
+                    f"cadence ({r})"
+                )
+            groups = blocks.reshape(k // r, r, *blocks.shape[1:])
+            rgroups = jnp.any(
+                resets.reshape(k // r, r, resets.shape[1]), axis=1
+            )
+            sp = carry["spectrum"]
+            if k // r > 1:
+
+                def sp_body(c, xr):
+                    blkg, rstg = xr
+                    c, _ = engine.spectrum_step(c, blkg, meta, rstg)
+                    return c, None
+
+                sp, _ = jax.lax.scan(
+                    sp_body, sp, (groups[:-1], rgroups[:-1])
+                )
+            sp, sp_snap = engine.spectrum_step(sp, groups[-1], meta, rgroups[-1])
+            carry = dict(carry, spectrum=sp)
+            snaps = dict(snaps, spectrum=sp_snap)
+        return carry, snaps
 
     return scan_fn
 
@@ -188,14 +270,20 @@ def sharded_scan_step(engine, mesh: Mesh, scan_hops: int,
     ``--scan-hops`` dispatch-amortization mode with the same shard_map
     zero-collective guarantee as :func:`sharded_step`."""
     carry_specs = engine.carry_pspecs(axis)
-    snap_specs = _snapshot_pspecs(engine, axis)
+    inner = scan_last_snapshot_fn(engine)
+
+    def snap_shapes(s):
+        args = _trace_args(engine, s, lead=(scan_hops,))
+        _, snaps = jax.eval_shape(inner, *args)
+        return snaps
+
+    snap_specs = _derive_pspecs(axis, snap_shapes)
 
     from openmeters_tpu.engine.engine import StreamMeta
 
     meta_specs = StreamMeta(fold=P(axis, None, None), weights=P(axis, None))
     blocks_spec = P(None, axis, None, None)
     resets_spec = P(None, axis)
-    inner = scan_last_snapshot_fn(engine)
 
     def scan_fn(carry, blocks, meta, resets):
         assert blocks.shape[0] == scan_hops, (blocks.shape, scan_hops)

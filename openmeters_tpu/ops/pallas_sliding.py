@@ -182,9 +182,15 @@ def _build(T, cols, hop, bins, n, coeffs, floor_db, emit_codes):
 def _build_tiled(T, cols, hop, bins, n, coeffs, floor_db, emit_codes, BT):
     """Bin-tiled variant for configs whose ``[hop, bins]`` update constants
     exceed VMEM (the stock 16384/1024 spectrum): grid ``(n_bt, n_st)`` with
-    the bin tile OUTER so each update-matrix block streams from HBM once
-    per hop.  The window stencil's cross-tile reach comes from 8-lane halo
-    states slid in-kernel by dedicated ``[hop, HALO]`` matmuls; the
+    the bin tile OUTER.  Unlike the whole-row kernel, the delta SPECTRA
+    arrive precomputed (``sliding_hop`` runs a partial-input six-step MXU
+    rFFT outside the kernel): for a 1024-sample delta against 8193 bins the
+    dense ``[hop, bins]`` update matmul costs ~200 GFLOP-bf16 per hop while
+    the O(n log n) transform costs ~30 — and the ``[S, bins]`` delta-spectrum
+    read replaces the update-constant stream, so HBM traffic is unchanged.
+    The kernel keeps the slide additions, phasor rotation, window stencil
+    and power in VMEM.  The window stencil's cross-tile reach comes from
+    8-lane halo states slid with halo slices of the same delta spectra; the
     hermitian edge fixes read the tile-0 / last-tile halos (their masks
     are on global lane indices, so they are no-ops elsewhere).
 
@@ -200,15 +206,13 @@ def _build_tiled(T, cols, hop, bins, n, coeffs, floor_db, emit_codes, BT):
     assert (bins - 1) % BT == 0, "Nyquist must sit at lane 0 of a tile"
 
     def kern(ready_ref, fr_ref, fi_ref, *rest):
-        d_refs = rest[:cols]
-        (updr_ref, updr_lo_ref, updi_ref, updi_lo_ref, rotr_ref, roti_ref,
-         dc_ref, norm_ref,
-         hfr_ref, hfi_ref, uhr_ref, uhr_lo_ref, uhi_ref, uhi_lo_ref,
-         rhr_ref, rhi_ref,
-         gfr_ref, gfi_ref, ugr_ref, ugr_lo_ref, ugi_ref, ugi_lo_ref,
-         rgr_ref, rgi_ref,
-         ofr_ref, ofi_ref) = rest[cols : cols + 26]
-        out_refs = rest[cols + 26 :]
+        d_refs = rest[: 2 * cols]  # (dr, di) per column
+        (rotr_ref, roti_ref, dc_ref, norm_ref,
+         hfr_ref, hfi_ref, rhr_ref, rhi_ref,
+         gfr_ref, gfi_ref, rgr_ref, rgi_ref) = rest[2 * cols : 2 * cols + 12]
+        hd_refs = rest[2 * cols + 12 : 2 * cols + 12 + 4 * cols]
+        ofr_ref, ofi_ref = rest[2 * cols + 12 + 4 * cols : 2 * cols + 14 + 4 * cols]
+        out_refs = rest[2 * cols + 14 + 4 * cols :]
         ready = ready_ref[0]
         fr = fr_ref[:]
         fi = fi_ref[:]
@@ -227,14 +231,11 @@ def _build_tiled(T, cols, hop, bins, n, coeffs, floor_db, emit_codes, BT):
         glane = lane + jt * BT
 
         for k in range(cols):
-            d = d_refs[k][:]
-            d_hi = d.astype(jnp.bfloat16).astype(jnp.float32)
-            d_lo = d - d_hi
             emit = jnp.int32(k) < ready
 
-            def slide(sr, si, ur, url, ui, uil, rr, ri):
-                tr = sr + _dot3(d_hi, d_lo, ur, url)
-                ti = si + _dot3(d_hi, d_lo, ui, uil)
+            def slide(sr, si, dr, di, rr, ri):
+                tr = sr + dr
+                ti = si + di
                 nr = tr * rr - ti * ri
                 ni = tr * ri + ti * rr
                 return (
@@ -243,14 +244,14 @@ def _build_tiled(T, cols, hop, bins, n, coeffs, floor_db, emit_codes, BT):
                 )
 
             fr, fi = slide(
-                fr, fi, updr_ref, updr_lo_ref, updi_ref, updi_lo_ref,
-                rotr, roti,
+                fr, fi, d_refs[2 * k][:], d_refs[2 * k + 1][:], rotr, roti
             )
             hfr, hfi = slide(
-                hfr, hfi, uhr_ref, uhr_lo_ref, uhi_ref, uhi_lo_ref, rhr, rhi
+                hfr, hfi, hd_refs[4 * k][:], hd_refs[4 * k + 1][:], rhr, rhi
             )
             gfr, gfi = slide(
-                gfr, gfi, ugr_ref, ugr_lo_ref, ugi_ref, ugi_lo_ref, rgr, rgi
+                gfr, gfi, hd_refs[4 * k + 2][:], hd_refs[4 * k + 3][:],
+                rgr, rgi,
             )
 
             wr = a0 * fr
@@ -423,8 +424,20 @@ def sliding_hop(
     fip = padb(fi) if fi.shape[1] == bins else fi
     rotp, rotip = padb(rotr), padb(roti)
     dcp, normp = padb(dc_corr), padb(norm)
-    urp, urlp = padb(updr_hi), padb(updr - updr_hi)
-    uip, uilp = padb(updi_hi), padb(updi - updi_hi)
+
+    # delta SPECTRA via the partial-input six-step rFFT (in_len = hop
+    # promises the zero pad): ~6x fewer MXU FLOPs than the dense
+    # [hop, bins] update matmuls the kernel used to run, at the bf16x3
+    # error class the in-kernel dots had (bounded by the exact re-anchor)
+    from openmeters_tpu.ops.fft import rfft_mxu
+
+    dspecs = []
+    for k in range(cols):
+        spec = rfft_mxu(
+            d_cols[k], n, precision=jax.lax.Precision.HIGH, in_len=hop
+        )
+        dspecs.append(padb(jnp.real(spec)))
+        dspecs.append(padb(jnp.imag(spec)))
 
     def halo_state(x):
         # hlo[j] = bins [j*BT-HALO, j*BT) (tile 0: the hermitian lo edge
@@ -447,25 +460,13 @@ def sliding_hop(
     hfr, gfr = halo_state(frp)
     hfi, gfi = halo_state(fip)
 
-    def halo_rows(m):
-        # [n_bt*hop, HALO] update-matrix halo columns, same tiling
-        lo = jnp.concatenate(
-            [m[:, :HALO]]
-            + [m[:, j * BT - HALO : j * BT] for j in range(1, n_bt)],
-            axis=0,
-        )
-        hi = jnp.concatenate(
-            [m[:, (j + 1) * BT : (j + 1) * BT + HALO]
-             for j in range(n_bt - 1)]
-            + [jnp.zeros((hop, HALO), m.dtype)],
-            axis=0,
-        )
-        return lo, hi
-
-    uhr, ugr = halo_rows(urp)
-    uhr_lo, ugr_lo = halo_rows(urlp)
-    uhi, ugi = halo_rows(uip)
-    uhi_lo, ugi_lo = halo_rows(uilp)
+    # halo slices of the delta spectra, same [n_bt*sp, HALO] tiling as the
+    # halo states they slide
+    hdspecs = []
+    for k in range(cols):
+        hdr, gdr = halo_state(dspecs[2 * k])
+        hdi, gdi = halo_state(dspecs[2 * k + 1])
+        hdspecs += [hdr, hdi, gdr, gdi]
 
     def halo_row1(v):
         # [n_bt*8, HALO] from a [1, bins_pad] row (each tile's row repeated
@@ -492,24 +493,21 @@ def sliding_hop(
     )
     tile = pl.BlockSpec((T, BT), lambda j, i, *_: (i, j))
     row = pl.BlockSpec((1, BT), lambda j, i, *_: (0, j))
-    dspec = pl.BlockSpec((T, hop), lambda j, i, *_: (i, 0))
-    uspec = pl.BlockSpec((hop, BT), lambda j, i, *_: (0, j))
     n_st = sp // T
     hstate = pl.BlockSpec((T, HALO), lambda j, i, *_: (j * n_st + i, 0))
-    hrows = pl.BlockSpec((hop, HALO), lambda j, i, *_: (j, 0))
     hrow1 = pl.BlockSpec((8, HALO), lambda j, i, *_: (j, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        # bin tile OUTER, stream tile inner: each [hop, BT] constant block
-        # is fetched once per hop, not once per stream tile
+        # bin tile OUTER, stream tile inner (kept from the constant-
+        # streaming formulation; both axes are parallel)
         grid=(n_bt, sp // T),
         in_specs=[
             tile, tile,
-            *[dspec for _ in range(cols)],
-            uspec, uspec, uspec, uspec,
+            *[tile for _ in range(2 * cols)],
             row, row, row, row,
-            hstate, hstate, hrows, hrows, hrows, hrows, hrow1, hrow1,
-            hstate, hstate, hrows, hrows, hrows, hrows, hrow1, hrow1,
+            hstate, hstate, hrow1, hrow1,
+            hstate, hstate, hrow1, hrow1,
+            *[hstate for _ in range(4 * cols)],
         ],
         out_specs=[tile, tile, *[tile for _ in range(cols)]],
     )
@@ -524,6 +522,10 @@ def sliding_hop(
                 for _ in range(cols)
             ],
         ],
+        # the sliding state updates in place: each grid step reads its
+        # input tile before writing the aliased output tile (indices are
+        # post-scalar-prefetch: 1 = frp -> out 0, 2 = fip -> out 1)
+        input_output_aliases={1: 0, 2: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 2**20,
@@ -531,11 +533,11 @@ def sliding_hop(
         interpret=_interpret(),
     )(
         jnp.asarray([ready], jnp.int32).astype(jnp.int32),
-        frp, fip, *d_cols,
-        urp, urlp, uip, uilp,
+        frp, fip, *dspecs,
         rotp, rotip, dcp, normp,
-        hfr, hfi, uhr, uhr_lo, uhi, uhi_lo, rhr, rhi,
-        gfr, gfi, ugr, ugr_lo, ugi, ugi_lo, rgr, rgi,
+        hfr, hfi, rhr, rhi,
+        gfr, gfi, rgr, rgi,
+        *hdspecs,
     )
     # state returns at the caller's store width; outputs slice to real bins
     store_w = fr.shape[1]

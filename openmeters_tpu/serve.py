@@ -119,9 +119,24 @@ class MeterServer:
             config.n_streams, channels=config.channels, pad_channels=config.channels
         )
 
+        # cadenced spectrum: the spectrum hop spans R engine hops and is
+        # dispatched separately every R-th advance (its own DspBatcher
+        # cadence, meter.rs:15-80); scan mode folds it into the scan
+        self._cadence = self.engine.spectrum_cadence
+        if config.scan_hops > 1 and self._cadence > 1 and (
+            config.scan_hops % self._cadence
+        ):
+            raise ValueError(
+                f"scan_hops ({config.scan_hops}) must be a multiple of the "
+                f"spectrum cadence ({self._cadence})"
+            )
+        self._spectrum_step = None
         if mesh is not None:
             from openmeters_tpu.engine import sharded_step
-            from openmeters_tpu.engine.sharding import sharded_scan_step
+            from openmeters_tpu.engine.sharding import (
+                sharded_scan_step,
+                sharded_spectrum_step,
+            )
 
             if config.scan_hops > 1:
                 self._step, self._place = sharded_scan_step(
@@ -131,6 +146,10 @@ class MeterServer:
                 self._step, self._place = sharded_step(
                     self.engine, mesh, donate_carry=True
                 )
+                if self._cadence > 1:
+                    self._spectrum_step = sharded_spectrum_step(
+                        self.engine, mesh, donate_carry=True
+                    )
         else:
             self._place = lambda c: c
             if config.scan_hops > 1:
@@ -144,6 +163,13 @@ class MeterServer:
                     lambda c, b, m, r: self.engine.step(c, b, m, r),
                     donate_argnums=0,
                 )
+                if self._cadence > 1:
+                    self._spectrum_step = jax.jit(
+                        lambda c, blocks, m, r: self.engine.spectrum_step(
+                            c, blocks, m, r
+                        ),
+                        donate_argnums=0,
+                    )
         self.carry = self._place(self.engine.init(config.n_streams))
         k, s, b = config.scan_hops, config.n_streams, ecfg.block_frames
         if k > 1:
@@ -186,6 +212,29 @@ class MeterServer:
         no_reset = jax.device_put(np.zeros((*lead, config.n_streams), bool))
         warm_carry, warm_snaps = self._step(self.carry, zeros, self.meta, no_reset)
         warm_carry, warm_snaps = self._step(warm_carry, zeros, self.meta, no_reset)
+        if self._spectrum_step is not None:
+            # warm the cadenced spectrum dispatch too (donated layouts)
+            sp_zeros = jax.device_put(
+                np.zeros(
+                    (
+                        self._cadence, config.n_streams,
+                        ecfg.block_frames, config.channels,
+                    ),
+                    np.float32,
+                )
+            )
+            sp_reset = jax.device_put(np.zeros((config.n_streams,), bool))
+            sp_carry, sp_snap = self._spectrum_step(
+                warm_carry["spectrum"], sp_zeros, self.meta, sp_reset
+            )
+            sp_carry, sp_snap = self._spectrum_step(
+                sp_carry, sp_zeros, self.meta, sp_reset
+            )
+            warm_carry = dict(warm_carry, spectrum=sp_carry)
+            warm_snaps = dict(warm_snaps, spectrum=sp_snap)
+            self._dev_spectrum_snap = sp_snap
+            self._spec_pending: list = []
+            self._spec_resets = np.zeros((config.n_streams,), bool)
         self._meter_mask = _meter_leaf_mask(warm_snaps, config.n_streams)
         picked = (
             [True] * len(self._meter_mask)
@@ -241,6 +290,11 @@ class MeterServer:
                 f"{self.config.n_streams}"
             )
         self.carry = self._place(carry)
+        if self._spectrum_step is not None:
+            # drop any partially-accumulated spectrum hop; the restored
+            # carry resumes on a fresh spectrum-hop boundary
+            self._spec_pending.clear()
+            self._spec_resets[:] = False
         # a restarted transport flags each stream's first data as a
         # generation reset; that reset is the resumption itself — consume
         # the first one per stream so it cannot wipe the restored carry
@@ -305,6 +359,27 @@ class MeterServer:
             )
         dev_batch = jax.device_put(batch)
         self.carry, snaps = self._step(self.carry, dev_batch, self.meta, dev_reset)
+        if self._spectrum_step is not None:
+            # accumulate this spectrum hop's engine blocks; dispatch the
+            # spectrum's own hop every R-th advance (meter.rs per-visual
+            # cadence).  The batch handles are already on device for the
+            # fast step — retaining them costs no extra transfer.
+            self._spec_pending.append(dev_batch)
+            self._spec_resets |= rst  # host-side mask (k == 1 path)
+            if len(self._spec_pending) == self._cadence:
+                import jax.numpy as jnp
+
+                sp_carry, sp_snap = self._spectrum_step(
+                    self.carry["spectrum"],
+                    jnp.stack(self._spec_pending),
+                    self.meta,
+                    jax.device_put(self._spec_resets),
+                )
+                self.carry = dict(self.carry, spectrum=sp_carry)
+                self._dev_spectrum_snap = sp_snap
+                self._spec_pending.clear()
+                self._spec_resets[:] = False
+            snaps = dict(snaps, spectrum=self._dev_spectrum_snap)
         # retain only the small meter leaves for fetch_meters_now — keeping
         # the whole snapshot pytree would pin the bulk leaves (spectrogram
         # codes, trace buffers: ~100s of MB at high stream counts) in device

@@ -17,14 +17,19 @@ from openmeters_tpu.engine import (
 def test_engine_fans_out_to_all_analyzers():
     eng = MeterEngine(EngineConfig())
     s, b = 2, 256
+    # the stock 16384/1024 spectrum runs at its own hop cadence: 4 engine
+    # blocks per spectrum hop (meter.rs per-visual DspBatcher cadence)
+    r = eng.spectrum_cadence
+    assert r == 4
     carry = eng.init(s)
     meta = StreamMeta.default(s)
-    block = np.zeros((s, b, 8), np.float32)
-    sig = sine_wave(1000.0, 48_000.0, b, 0.5)
-    block[0, :, 0] = block[0, :, 1] = sig
-    carry, snaps = eng.step(carry, block, meta)
-    # all six analyzers by default, matching the reference registry
-    # (registry.rs:37-240)
+    blocks = np.zeros((r, s, b, 8), np.float32)
+    sig = sine_wave(1000.0, 48_000.0, r * b, 0.5)
+    for j in range(r):
+        blocks[j, 0, :, 0] = blocks[j, 0, :, 1] = sig[j * b : (j + 1) * b]
+    # one super-period emits all six analyzers, matching the reference
+    # registry (registry.rs:37-240); fast snapshots stack per engine hop
+    carry, snaps = eng.super_step(carry, blocks, meta)
     assert set(snaps) == {
         "loudness",
         "spectrogram",
@@ -33,9 +38,13 @@ def test_engine_fans_out_to_all_analyzers():
         "stereometer",
         "waveform",
     }
+    # the per-hop step alone fans out to the five hop-cadence analyzers
+    carry, fast = eng.step(carry, blocks[0], meta)
+    assert set(fast) == set(snaps) - {"spectrum"}
     # loudness momentary reacts immediately; silent stream stays at floor
-    assert float(snaps["loudness"].momentary_lufs[0]) > -30
-    assert float(snaps["loudness"].momentary_lufs[1]) == pytest.approx(-99.9, abs=1e-3)
+    m = np.asarray(snaps["loudness"].momentary_lufs)  # [r, s] stacked
+    assert float(m[-1, 0]) > -30
+    assert float(m[-1, 1]) == pytest.approx(-99.9, abs=1e-3)
 
 
 def test_engine_fold_applies_stereo_matrix():
@@ -139,3 +148,52 @@ def test_multihost_mesh_shards_without_collectives():
     np.testing.assert_allclose(
         lufs, np.asarray(snaps2["loudness"].momentary_lufs), atol=5e-3
     )
+
+
+def test_cadenced_spectrum_matches_per_hop_path(rng):
+    """The cadenced spectrum (hop = R engine blocks stepped once per R hops
+    via ``spectrum_step``) is bit-identical to the per-hop cond-held path
+    (hop > block inside one analyzer) on the same audio, at every spectrum
+    hop boundary."""
+    from openmeters_tpu.analyzers.spectrum import SpectrumAnalyzer, SpectrumConfig
+    from openmeters_tpu.engine import EngineConfig, MeterEngine, StreamMeta
+
+    s, b, hops = 2, 256, 24
+    cfg = SpectrumConfig(fft_size=2048, hop_size=1024)
+    eng = MeterEngine(
+        EngineConfig(
+            channels=2, spectrum=cfg, loudness=None, spectrogram=None,
+            oscilloscope=None, stereometer=None, waveform=None,
+        )
+    )
+    r = eng.spectrum_cadence
+    assert r == 4
+    x = (rng.standard_normal((s, hops * b, 2)) * 0.3).astype(np.float32)
+    meta = StreamMeta.default(s, channels=2, pad_channels=2)
+
+    carry = eng.init(s)
+    cadenced = []
+    for k in range(hops // r):
+        blocks = np.stack(
+            [x[:, (k * r + j) * b : (k * r + j + 1) * b] for j in range(r)]
+        )
+        carry, snaps = eng.super_step(carry, blocks, meta)
+        cadenced.append(np.asarray(snaps["spectrum"].raw_db))
+
+    # per-hop reference: the analyzer's own hop>block path at block=256
+    ana = SpectrumAnalyzer(
+        dataclasses_replace(cfg, block_frames=b, sample_rate=48_000.0)
+    )
+    c = ana.init(s)
+    for i in range(hops):
+        c, snap = ana.step(c, x[:, i * b : (i + 1) * b])
+        if i % r == r - 1:
+            np.testing.assert_array_equal(
+                np.asarray(snap.raw_db), cadenced[i // r]
+            )
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)

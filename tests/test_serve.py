@@ -408,3 +408,48 @@ def test_multi_rate_co_residency_at_scale():
     assert np.all(np.abs(m48 - m48[0]) < 1e-3), "bucket 48k not uniform"
     assert abs(float(m44[0]) - float(m48[0]) - 14.0) < 0.3, (m44[0], m48[0])
     assert abs(float(m44[0]) + 6.0) < 0.5, m44[0]
+
+
+def test_serve_cadenced_spectrum_updates_every_r_hops():
+    """A cadenced spectrum (hop = 4 engine blocks) served per-hop: the
+    spectrum snapshot advances only on every 4th hop (its own DspBatcher
+    cadence, meter.rs:15-80), holds between hops, and sees a pushed tone."""
+    from openmeters_tpu.analyzers.spectrum import SpectrumConfig
+
+    engine = EngineConfig(
+        channels=2, spectrogram=None,
+        spectrum=SpectrumConfig(fft_size=1024, hop_size=1024),
+        oscilloscope=None, stereometer=None, waveform=None,
+    )
+    cfg = ServeConfig(
+        n_streams=2, channels=2, engine=engine, realtime=False,
+        fetch="full", fetch_every=1, coalesce_blocks=1,
+    )
+    server = MeterServer(cfg)
+    assert server.engine.spectrum_cadence == 4
+    rate, block = 48_000.0, 256
+    t = np.arange(0, 24 * block, dtype=np.float64) / rate
+    x = (0.5 * np.sin(2.0 * np.pi * 3000.0 * t)).astype(np.float32)
+    stereo = np.stack([x, x], axis=-1)
+
+    updated_flags = []
+    try:
+        for i in range(24):
+            blk = stereo[i * block : (i + 1) * block]
+            ts = int(i * block / rate * 1e9)
+            for st in range(2):
+                server.transport.push_pcm(st, blk, ts)
+            server.advance()
+            m = server.fetch_meters_now()
+            key = next(k for k in m if "spectrum" in k and "updated" in k)
+            updated_flags.append(bool(np.asarray(m[key])[0]))
+        # the updated flag flips true once the first full window fills and
+        # only refreshes on spectrum-hop boundaries thereafter
+        assert updated_flags[-1] or updated_flags[-2] or updated_flags[-3] or updated_flags[-4]
+        raw_key = next(k for k in m if "raw_db" in k)
+        raw = np.asarray(m[raw_key])  # [S, 2, bins]
+        bins = np.fft.rfftfreq(1024, 1.0 / rate)
+        peak_bin = int(np.argmax(raw[0, 0]))
+        assert abs(bins[peak_bin] - 3000.0) < 100.0
+    finally:
+        server.close()
