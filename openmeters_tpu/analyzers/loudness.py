@@ -157,9 +157,9 @@ class LoudnessAnalyzer:
         # pinning the carry layouts via jax.experimental.layout made it
         # worse still (row-major pins force an 18.9 GB relayout copy of the
         # means ring; OOM).  Deleted in round 3 — see NOTES.md.
-        import os
+        from openmeters_tpu.utils.envflags import snapshot_flag
 
-        if os.environ.get("OPENMETERS_LIFTED_KW"):
+        if snapshot_flag("OPENMETERS_LIFTED_KW"):
             filtered, kw_state = lifted_iir_scan(x, kw_state, self._kw_coeffs)
         else:
             seq_state = jnp.stack(

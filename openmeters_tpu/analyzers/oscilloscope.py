@@ -1104,14 +1104,13 @@ class OscilloscopeAnalyzer:
 # -- helpers -------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=1)
 def _osc_no_slide() -> bool:
     """Process-level snapshot of ``OPENMETERS_OSC_NO_SLIDE`` (read once:
     ``slides_probe`` gates the carry pytree structure, so every call site
-    must agree for the life of the process).  '', '0', 'false', 'no' mean
-    unset; anything else disables the sliding probe path."""
-    v = os.environ.get("OPENMETERS_OSC_NO_SLIDE", "").strip().lower()
-    return v not in ("", "0", "false", "no")
+    must agree for the life of the process)."""
+    from openmeters_tpu.utils.envflags import snapshot_flag
+
+    return snapshot_flag("OPENMETERS_OSC_NO_SLIDE")
 
 
 @functools.lru_cache(maxsize=8)
