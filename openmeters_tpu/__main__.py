@@ -73,16 +73,44 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def _serving_engine_config(args):
+    """Resolve the engine config a serving-family command runs.
+
+    Precedence: ``--settings`` (any persisted configuration, lossy JSON
+    schema) > ``--config default`` (the stock ``EngineConfig()``: all six
+    analyzers, reassignment on, 16384-pt spectrum) > ``--config serve``
+    (the lean classic-spectrogram throughput config).
+    """
+    import dataclasses
+
+    from openmeters_tpu.analyzers.spectrogram import SpectrogramConfig
+    from openmeters_tpu.engine import EngineConfig
+    from openmeters_tpu.persistence import SettingsHandle
+
+    if getattr(args, "settings", None):
+        cfg = SettingsHandle.load_or_default(args.settings)
+        return dataclasses.replace(cfg, channels=2)
+    if getattr(args, "config", "serve") == "default":
+        return EngineConfig(channels=2)
+    return EngineConfig(
+        channels=2,
+        spectrogram=SpectrogramConfig(
+            fft_size=2048, hop_size=64, use_reassignment=False
+        ),
+        spectrum=None,
+    )
+
+
 def cmd_serve(args) -> int:
     """Run the production serving loop with native synthetic producers.
 
     Real deployments push PCM via the Transport API (or a custom producer
     adapter); this command stands in a native tone feeder so the full
     transport -> device -> drain path is exercised end-to-end, and doubles
-    as the serving/ingest benchmark.
+    as the serving/ingest benchmark.  ``--settings``/``--config`` pick the
+    engine configuration (any persisted config serves, not just the lean
+    throughput one).
     """
-    from openmeters_tpu.analyzers.spectrogram import SpectrogramConfig
-    from openmeters_tpu.engine import EngineConfig
     from openmeters_tpu.ingest import Feeder
     from openmeters_tpu.serve import MeterServer, ServeConfig, ingest_benchmark
 
@@ -97,11 +125,7 @@ def cmd_serve(args) -> int:
         print(json.dumps(report))
         return 0
 
-    engine_cfg = EngineConfig(
-        channels=2,
-        spectrogram=SpectrogramConfig(fft_size=2048, hop_size=64, use_reassignment=False),
-        spectrum=None,
-    )
+    engine_cfg = _serving_engine_config(args)
     serve_cfg = ServeConfig(
         n_streams=args.streams,
         channels=2,
@@ -218,20 +242,9 @@ def cmd_precompile(args) -> int:
     )
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-    from openmeters_tpu.analyzers.spectrogram import SpectrogramConfig
-    from openmeters_tpu.engine import EngineConfig
     from openmeters_tpu.serve import MeterServer, ServeConfig
 
-    if args.config == "default":
-        engine_cfg = EngineConfig(channels=2)
-    else:
-        engine_cfg = EngineConfig(
-            channels=2,
-            spectrogram=SpectrogramConfig(
-                fft_size=2048, hop_size=64, use_reassignment=False
-            ),
-            spectrum=None,
-        )
+    engine_cfg = _serving_engine_config(args)
     t0 = time.perf_counter()
     server = MeterServer(
         ServeConfig(
@@ -320,6 +333,12 @@ def main(argv=None) -> int:
     pr.set_defaults(fn=cmd_render)
 
     pv = sub.add_parser("serve", help="run the serving loop (synthetic feed)")
+    pv.add_argument("--settings", help="serve a persisted settings JSON "
+                    "(lossy schema) instead of a named --config")
+    pv.add_argument("--config", choices=["serve", "default"], default="serve",
+                    help="'serve': lean classic-spectrogram throughput "
+                    "config; 'default': the stock EngineConfig() (all six "
+                    "analyzers, reassignment on)")
     pv.add_argument("--streams", type=int, default=256)
     pv.add_argument("--duration", type=float, default=5.0)
     pv.add_argument("--fetch", choices=["meters", "full", "none"], default="meters")
@@ -352,6 +371,7 @@ def main(argv=None) -> int:
     )
     pp.add_argument("--streams", type=int, default=256)
     pp.add_argument("--scan-hops", type=int, default=1)
+    pp.add_argument("--settings", help="precompile a persisted settings JSON")
     pp.add_argument("--config", choices=["serve", "default"], default="serve",
                     help="'serve': the serve command's engine config; "
                     "'default': the stock EngineConfig() (all six analyzers, "

@@ -124,6 +124,29 @@ class LoudnessAnalyzer:
             out["gate"] = self._gate.init(n_streams)
         return out
 
+    def migrate_from(self, old: "LoudnessAnalyzer", carry: dict, n_streams: int):
+        """Field-level carry retention: a floor change keeps the full 3 s
+        window state (floor only gates dB conversion); a gating toggle keeps
+        the filter/window/true-peak state and re-inits only the gate
+        histograms.  Rate/block/channel changes re-init (``None``)."""
+        import dataclasses as _dc
+
+        a, b = old.config, self.config
+        if a == b:
+            return carry
+        if (a.sample_rate, a.block_frames, a.channels) != (
+            b.sample_rate, b.block_frames, b.channels
+        ):
+            return None
+        if _dc.replace(a, floor_db=b.floor_db, gating=b.gating) != b:
+            return None
+        out = {k: carry[k] for k in ("kw", "wm", "tp")}
+        if b.gating:
+            out["gate"] = (
+                carry["gate"] if a.gating else self._gate.init(n_streams)
+            )
+        return out
+
     @functools.partial(jax.jit, static_argnums=0)
     def step(self, carry: dict, block, channel_weights, reset_mask=None):
         """One hop.

@@ -345,6 +345,26 @@ class OscilloscopeAnalyzer:
             }
         return carry
 
+    def migrate_from(self, old: "OscilloscopeAnalyzer", carry: dict, n_streams: int):
+        """The reference rebuilds the whole processor on ANY config change
+        (processor.rs:752-758); we retain state across *cadence-only*
+        changes (trigger_every / snapshot_every) since the history ring,
+        trigger lock and reference template stay dimensionally and
+        semantically identical — a display-rate tweak should not drop a
+        locked trigger.  Anything else re-inits (``None``)."""
+        import dataclasses as _dc
+
+        a, b = old.config, self.config
+        if a == b:
+            return carry
+        if _dc.replace(
+            a, trigger_every=b.trigger_every, snapshot_every=b.snapshot_every
+        ) != b:
+            return None
+        from openmeters_tpu.utils.migrate import merge_carry
+
+        return merge_carry(self.init(n_streams), carry)
+
     def pspecs(self, axis: str):
         from jax.sharding import PartitionSpec as P
 

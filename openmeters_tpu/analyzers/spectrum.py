@@ -7,11 +7,16 @@ state floor lifted by the maximum positive A-weighting so weighting cannot
 resurrect sub-floor bins (processor.rs:325-403); outputs both A-weighted and
 raw dB arrays per trace.
 
-TPU formulation: both traces of all streams run as one ``[S * 2]``-lane
-framing + batched rFFT.  Per-stream trace projections are data
-(``[S, 2, 2]`` stereo-projection vectors), so mixed configurations batch into
-one compiled step.  Averaging state is a carry; multiple ready columns per
-step apply sequentially (a tiny static Python loop over ``cols_cap``).
+TPU formulation: the ACTIVE traces of all streams run as one
+``[S * trace_count]``-lane framing + batched rFFT, where ``trace_count``
+(1 or 2) statically skips ``Channel.NONE`` and duplicate secondaries
+(reference ``active_traces``, processor.rs:174-177) — the default config
+(secondary=NONE) compiles half the 16384-pt sliding-DFT lanes.  Per-stream
+trace projections are data (``[S, trace_count, 2]`` stereo-projection
+vectors), so mixed *projections* batch into one compiled step; changing
+which traces are active is a config (recompile) boundary, as in the
+reference.  Averaging state is a carry; multiple ready columns per step
+apply sequentially (a tiny static Python loop over ``cols_cap``).
 """
 
 from __future__ import annotations
@@ -41,7 +46,7 @@ DEFAULT_HOP_DIVISOR = 16  # reference processor.rs:24
 DEFAULT_DB_FLOOR = -100.0  # reference processor.rs:22
 MAX_EXP_FACTOR = 0.95  # reference processor.rs:17
 MAX_PEAK_DECAY = 120.0  # reference processor.rs:19
-TRACE_COUNT = 2
+MAX_TRACES = 2  # primary + secondary (processor.rs:24-51)
 
 
 class AveragingMode(enum.Enum):
@@ -54,8 +59,8 @@ class AveragingMode(enum.Enum):
 
 
 class SpectrumSnapshot(NamedTuple):
-    weighted_db: jnp.ndarray  # [S, 2, bins] A-weighted dB
-    raw_db: jnp.ndarray  # [S, 2, bins]
+    weighted_db: jnp.ndarray  # [S, trace_count, bins] A-weighted dB
+    raw_db: jnp.ndarray  # [S, trace_count, bins]
     updated: jnp.ndarray  # [S] bool — any column produced this step
 
 
@@ -86,11 +91,26 @@ class SpectrumConfig:
             floor_db=sanitize_negative_db(self.floor_db, DEFAULT_DB_FLOOR),
         )
 
+    @property
+    def active_sources(self) -> tuple[Channel, ...]:
+        """The traces that actually run (reference ``active_traces``,
+        processor.rs:174-177): ``Channel.NONE`` and a duplicate secondary are
+        skipped *statically*, so the default config (secondary=NONE) compiles
+        half the sliding-DFT/smoothing lanes.  Degenerate all-NONE configs
+        keep one silent lane so snapshot shapes stay well-formed."""
+        out = []
+        for ch in (self.source, self.secondary_source):
+            if ch is not Channel.NONE and ch not in out:
+                out.append(ch)
+        return tuple(out) or (Channel.NONE,)
+
+    @property
+    def trace_count(self) -> int:
+        return len(self.active_sources)
+
     def default_projections(self) -> np.ndarray:
-        """``[2, 2]`` stereo projections for (source, secondary)."""
-        return np.stack(
-            [projection_vector(self.source), projection_vector(self.secondary_source)]
-        )
+        """``[trace_count, 2]`` stereo projections for the active traces."""
+        return np.stack([projection_vector(ch) for ch in self.active_sources])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -141,22 +161,88 @@ class SpectrumAnalyzer:
 
     def init(self, n_streams: int) -> dict:
         floor = self.config.floor_db
+        tc = self.config.trace_count
         carry = {
-            "fb": self._frames.init(n_streams * TRACE_COUNT),
-            "smoothed": jnp.zeros((n_streams, TRACE_COUNT, self.bins), jnp.float32),
+            "fb": self._frames.init(n_streams * tc),
+            "smoothed": jnp.zeros((n_streams, tc, self.bins), jnp.float32),
         }
         if self.use_sliding and self.config.hop_size > self.config.block_frames:
             # held dB outputs: recomputed only on hops that emit a column
             # (the log/A-weight passes over [S, 2, bins] dominate idle hops)
             carry["raw_db"] = jnp.full(
-                (n_streams, TRACE_COUNT, self.bins), floor, jnp.float32
+                (n_streams, tc, self.bins), floor, jnp.float32
             )
             carry["weighted_db"] = jnp.full(
-                (n_streams, TRACE_COUNT, self.bins), floor, jnp.float32
+                (n_streams, tc, self.bins), floor, jnp.float32
             )
         if self.use_sliding:
-            carry["sdft"] = self._sliding.init(n_streams * TRACE_COUNT)
+            carry["sdft"] = self._sliding.init(n_streams * tc)
         return carry
+
+    def migrate_from(self, old: "SpectrumAnalyzer", carry: dict, n_streams: int):
+        """Field-level carry retention across a config change (reference
+        ``update_config``, processor.rs:300-326):
+
+        - fft_size / window / block change: full re-init (``None``).
+        - sample_rate / hop / source / secondary change: ``reset_buffers`` —
+          fresh PCM and level state.
+        - averaging MODE or floor change: ``reset_level_buffers`` — the
+          framing + sliding PCM state is KEPT (the next hop emits a column
+          from the existing audio), only the smoothing state resets.
+        - factor change within the same mode (exp_factor, peak_decay):
+          nothing resets; the carry continues under the new constants.
+        """
+        a, b = old.config, self.config
+        if a == b:
+            return carry
+        if (a.fft_size, a.window, a.block_frames) != (
+            b.fft_size, b.window, b.block_frames
+        ):
+            return None
+        fresh = self.init(n_streams)
+        if (a.sample_rate, a.hop_size, a.source, a.secondary_source) != (
+            b.sample_rate, b.hop_size, b.source, b.secondary_source
+        ):
+            return fresh
+        if (a.averaging is not b.averaging) or (a.floor_db != b.floor_db):
+            out = dict(fresh)
+            out["fb"] = carry["fb"]
+            if "sdft" in carry and "sdft" in fresh:
+                out["sdft"] = carry["sdft"]
+            return out
+        return carry
+
+    def _to_db(self, out_power):
+        """Power -> (raw_db, weighted_db) with the weighted state floor
+        (reference processor.rs:325-403)."""
+        state_floor = self.state_floor
+        floor = self.config.floor_db
+        weighting = jnp.asarray(self.a_weighting)
+        db = jnp.log(jnp.maximum(out_power, 1e-45)) * LN_TO_DB
+        below = out_power < state_floor
+        raw_db = jnp.where(below, floor, jnp.maximum(db, floor))
+        weighted_db = jnp.where(below, floor, jnp.maximum(db + weighting, floor))
+        return raw_db, weighted_db
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def emit(self, carry: dict) -> SpectrumSnapshot:
+        """Snapshot of the carry's current averaging state WITHOUT advancing.
+
+        Used to re-prime a serving loop's held spectrum snapshot after a
+        checkpoint restore (the held device snapshot otherwise reports the
+        discarded run's spectrum until the next spectrum hop).  ``updated``
+        is all-False: no new column was produced.
+        """
+        if self.use_sliding and self.config.hop_size > self.config.block_frames:
+            raw_db, weighted_db = carry["raw_db"], carry["weighted_db"]
+        else:
+            raw_db, weighted_db = self._to_db(carry["smoothed"])
+        s = raw_db.shape[0]
+        return SpectrumSnapshot(
+            weighted_db=weighted_db,
+            raw_db=raw_db,
+            updated=jnp.zeros((s,), bool),
+        )
 
     @functools.partial(jax.jit, static_argnums=0)
     def step(self, carry: dict, block, projections=None, reset_mask=None):
@@ -172,26 +258,26 @@ class SpectrumAnalyzer:
         """
         cfg = self.config
         s, b, _ = block.shape
+        tc = cfg.trace_count
         if projections is None:
             projections = jnp.broadcast_to(
-                jnp.asarray(cfg.default_projections()), (s, TRACE_COUNT, 2)
+                jnp.asarray(cfg.default_projections()), (s, tc, 2)
             )
         traces = jnp.einsum("sbc,stc->stb", block, projections)  # [S, 2, B]
 
         lane_reset = None
         if reset_mask is not None:
-            lane_reset = jnp.repeat(reset_mask, TRACE_COUNT)
+            lane_reset = jnp.repeat(reset_mask, tc)
         fb = self._frames
         fb_carry, info = fb.advance(
-            carry["fb"], traces.reshape(s * TRACE_COUNT, b), lane_reset
+            carry["fb"], traces.reshape(s * tc, b), lane_reset
         )
-        valid = info["valid"].reshape(s, TRACE_COUNT, fb.cols_cap)
+        valid = info["valid"].reshape(s, tc, fb.cols_cap)
 
         w = window_coefficients(cfg.window, cfg.fft_size)
         norm = fft_bin_normalization(w, cfg.fft_size)
         state_floor = self.state_floor
         dt = cfg.hop_size / cfg.sample_rate
-        floor = cfg.floor_db
 
         def smooth_cols(smoothed, power):
             for col in range(fb.cols_cap):
@@ -218,15 +304,7 @@ class SpectrumAnalyzer:
                     smoothed = jnp.where(v, nxt, smoothed)
             return smoothed
 
-        def to_db(out_power):
-            weighting = jnp.asarray(self.a_weighting)
-            db = jnp.log(jnp.maximum(out_power, 1e-45)) * LN_TO_DB
-            below = out_power < state_floor
-            raw_db = jnp.where(below, floor, jnp.maximum(db, floor))
-            weighted_db = jnp.where(
-                below, floor, jnp.maximum(db + weighting, floor)
-            )
-            return raw_db, weighted_db
+        to_db = self._to_db
 
         new_carry = {"fb": fb_carry}
         if self.use_sliding:
@@ -261,7 +339,7 @@ class SpectrumAnalyzer:
                 def advance(op):
                     sdft, smoothed, _, _ = op
                     sdft2, power = slide(sdft)
-                    power = power.reshape(s, TRACE_COUNT, fb.cols_cap, self.bins)
+                    power = power.reshape(s, tc, fb.cols_cap, self.bins)
                     sm = smooth_cols(smoothed, power)
                     raw_db, weighted_db = to_db(sm)
                     return sdft2, sm, raw_db, weighted_db
@@ -277,13 +355,13 @@ class SpectrumAnalyzer:
                 new_carry["weighted_db"] = weighted_db
             else:
                 new_sdft, power = slide(carry["sdft"])
-                power = power.reshape(s, TRACE_COUNT, fb.cols_cap, self.bins)
+                power = power.reshape(s, tc, fb.cols_cap, self.bins)
                 smoothed = smooth_cols(smoothed0, power)
                 raw_db, weighted_db = to_db(smoothed)
             new_carry["sdft"] = new_sdft
         else:
             frames = fb.extract(info).reshape(
-                s, TRACE_COUNT, fb.cols_cap, cfg.fft_size
+                s, tc, fb.cols_cap, cfg.fft_size
             )
             mean = jnp.mean(frames, axis=-1, keepdims=True)
             spec = rfft_mxu((frames - mean) * w, cfg.fft_size)

@@ -198,6 +198,35 @@ class StereometerAnalyzer:
             points=pts, correlations=corr, points_valid=count >= f
         )
 
+    def migrate_from(self, old: "StereometerAnalyzer", carry: dict, n_streams: int):
+        """Reference ``update_config`` (processor.rs:183-198): a sample-rate
+        change rebuilds everything; a correlation_window change only swaps
+        the EMA alpha (state continues); a band-analysis toggle rebuilds the
+        band splitter (fresh ``tb``) but keeps the moments/ring."""
+        import dataclasses as _dc
+
+        a, b = old.config, self.config
+        a, b = a.resolved(), b.resolved()
+        if a == b:
+            return carry
+        if (a.sample_rate, a.block_frames, a.segment_duration,
+                a.target_sample_count) != (
+            b.sample_rate, b.block_frames, b.segment_duration,
+            b.target_sample_count,
+        ):
+            return None
+        if _dc.replace(
+            a, correlation_window=b.correlation_window,
+            analyze_bands=b.analyze_bands, emit_band_points=b.emit_band_points,
+        ) != b:
+            return None
+        from openmeters_tpu.utils.migrate import merge_carry
+
+        out = merge_carry(self.init(n_streams), carry)
+        if a.analyze_bands != b.analyze_bands and "tb" in out:
+            out["tb"] = self.init(n_streams)["tb"]  # fresh band splitter state
+        return out
+
     def pspecs(self, axis: str):
         from jax.sharding import PartitionSpec as P
 

@@ -431,6 +431,27 @@ class WaveformAnalyzer:
             progress=progress,
         )
 
+    def migrate_from(self, old: "WaveformAnalyzer", carry: dict, n_streams: int):
+        """Reference ``update_config`` (processor.rs:336-351): a sample-rate
+        change rebuilds; analyze_bands/track_history toggles reset the band
+        trackers but keep the min/max column state; a scroll_speed change
+        keeps everything (the column phase carries over under the new
+        cadence constants)."""
+        a, b = old.config.resolved(), self.config.resolved()
+        if a == b:
+            return carry
+        if (a.sample_rate, a.block_frames) != (b.sample_rate, b.block_frames):
+            return None
+        from openmeters_tpu.utils.migrate import merge_carry
+
+        out = merge_carry(self.init(n_streams), carry)
+        if (a.analyze_bands, a.track_history) != (b.analyze_bands, b.track_history):
+            fresh = self.init(n_streams)
+            for k in ("tb", "count", "ring_head", "raw_ring", "color_tot", "power_tot"):
+                if k in fresh:
+                    out[k] = fresh[k]  # reset_trackers
+        return out
+
     def pspecs(self, axis: str):
         from jax.sharding import PartitionSpec as P
 

@@ -20,8 +20,20 @@ import jax
 import numpy as np
 
 
+# Bumped whenever a carry relayout changes leaf structure/shapes without a
+# visible EngineConfig change (e.g. the round-4 cadenced-spectrum rebuild,
+# which replaces the spectrum analyzer's block_frames with its hop_size).
+# Hashing the *resolved analyzer configs* catches config-driven relayouts;
+# the version constant catches purely structural ones.
+CARRY_FORMAT_VERSION = 2
+
+
 def _config_fingerprint(engine) -> str:
-    return hashlib.sha256(repr(engine.config).encode()).hexdigest()[:16]
+    resolved = sorted(
+        (name, repr(a.config)) for name, a in engine.analyzers.items()
+    )
+    payload = f"carry-v{CARRY_FORMAT_VERSION}:{repr(engine.config)}:{resolved!r}"
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
 def _flatten(carry):

@@ -251,18 +251,33 @@ class MeterEngine:
           spectrum_carry: the ``carry["spectrum"]`` subtree.
           blocks: ``[R, S, B, C]`` — the R engine blocks of this spectrum
             hop, oldest first.
-          reset_mask: ``[S]`` bool — OR of the R per-hop reset masks.  A
-            mid-window reset is applied at this hop's start; the freshness
-            bookkeeping is conservative by at most R-1 blocks (the same
-            hop-grid re-alignment deviation documented in ops/framing.py).
+          reset_mask: ``[R, S]`` bool per-engine-hop reset masks, or ``[S]``
+            bool (the OR).  With per-hop masks, blocks *before* a stream's
+            last reset are zeroed device-side so no pre-reset (old
+            generation) audio enters the spectrum buffer: the first
+            post-reset window may contain up to R-1 leading zero blocks in
+            place of samples the per-hop path would still mark stale — a
+            sub-spectrum-hop timing shift, never stale audio.  With only the
+            OR'd ``[S]`` mask the pre-reset blocks of this spectrum hop are
+            admitted as-is (permissive by up to R-1 blocks) — callers that
+            can keep per-hop masks should.
 
         Returns ``(spectrum_carry, SpectrumSnapshot)``.
         """
         analyzer = self.analyzers["spectrum"]
         r, s, b, _ = blocks.shape
         assert r == self.spectrum_cadence, (r, self.spectrum_cadence)
+        blocks = blocks.astype(jnp.float32)
+        if reset_mask is not None and reset_mask.ndim == 2:
+            hop_i = jnp.arange(r, dtype=jnp.int32)[:, None]  # [R, 1]
+            last = jnp.max(
+                jnp.where(reset_mask, hop_i, jnp.int32(-1)), axis=0
+            )  # [S]: last reset hop, -1 if none
+            keep = hop_i >= last[None, :]  # the reset hop carries new audio
+            blocks = jnp.where(keep[..., None, None], blocks, 0.0)
+            reset_mask = jnp.any(reset_mask, axis=0)
         stereo = jnp.einsum(
-            "rsbc,sct->srbt", blocks.astype(jnp.float32), meta.fold
+            "rsbc,sct->srbt", blocks, meta.fold
         ).reshape(s, r * b, 2)
         return analyzer.step(spectrum_carry, stereo, reset_mask=reset_mask)
 
@@ -299,7 +314,7 @@ class MeterEngine:
         if self.spectrum_cadence > 1:
             assert r == self.spectrum_cadence, (r, self.spectrum_cadence)
             sp_carry, sp_snap = self.spectrum_step(
-                carry["spectrum"], blocks, meta, jnp.any(resets, axis=0)
+                carry["spectrum"], blocks, meta, resets
             )
             carry = dict(carry, spectrum=sp_carry)
             if fold_snaps is not None:
@@ -310,24 +325,31 @@ class MeterEngine:
     # -- reconfiguration -----------------------------------------------------
 
     def migrate_carry(self, old_engine: "MeterEngine", carry: dict, n_streams: int) -> dict:
-        """Carry migration across a config change.
+        """Carry migration across a config change, at the reference's
+        ``update_config`` granularity.
 
-        The reference's ``update_config`` rebuilds only what changed (FFT
-        plans on size/window change, level buffers on floor change,
-        everything on rate change).  Batched equivalent: analyzers whose
-        configs are unchanged keep their carries; changed ones re-init —
-        which matches the reference's reset granularity at the analyzer
-        level (sub-analyzer partial retention like the spectrum's pending
-        PCM across floor changes is subsumed by a fresh warmup).
+        Analyzers whose configs are unchanged keep their carries.  Changed
+        analyzers are asked to migrate field-by-field via their
+        ``migrate_from(old_analyzer, carry, n_streams)`` (e.g. the spectrum
+        keeps its framing + sliding PCM state across an averaging/floor
+        change, processor.rs:300-326; the oscilloscope keeps its trigger
+        lock across cadence changes); analyzers without a ``migrate_from``,
+        or whose migration returns ``None``, re-init.
         """
         old = old_engine.analyzers
-        fresh = self.init(n_streams)
         out = {}
         for name, analyzer in self.analyzers.items():
-            if name in old and name in carry and old[name].config == analyzer.config:
-                out[name] = carry[name]
-            else:
-                out[name] = fresh[name]
+            migrated = None
+            if name in old and name in carry:
+                if old[name].config == analyzer.config:
+                    migrated = carry[name]
+                elif hasattr(analyzer, "migrate_from"):
+                    migrated = analyzer.migrate_from(
+                        old[name], carry[name], n_streams
+                    )
+            out[name] = (
+                migrated if migrated is not None else analyzer.init(n_streams)
+            )
         return out
 
     # -- sharding specs -----------------------------------------------------

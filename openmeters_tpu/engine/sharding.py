@@ -208,7 +208,7 @@ def sharded_spectrum_step(engine, mesh: Mesh, donate_carry: bool = False,
             c, blocks, meta, reset
         ),
         mesh=mesh,
-        in_specs=(sp_specs, P(None, axis, None, None), meta_specs, P(axis)),
+        in_specs=(sp_specs, P(None, axis, None, None), meta_specs, P(None, axis)),
         out_specs=(sp_specs, snap_specs),
         check_vma=True,
     )
@@ -242,9 +242,9 @@ def scan_last_snapshot_fn(engine):
                     f"cadence ({r})"
                 )
             groups = blocks.reshape(k // r, r, *blocks.shape[1:])
-            rgroups = jnp.any(
-                resets.reshape(k // r, r, resets.shape[1]), axis=1
-            )
+            # per-hop [r, S] reset groups: spectrum_step zeroes pre-reset
+            # blocks so no old-generation audio enters the window
+            rgroups = resets.reshape(k // r, r, resets.shape[1])
             sp = carry["spectrum"]
             if k // r > 1:
 

@@ -118,6 +118,43 @@ class MeterServer:
         self.meta = StreamMeta.default(
             config.n_streams, channels=config.channels, pad_channels=config.channels
         )
+        self._mesh = mesh
+        self._build_pipeline(mesh)
+        k, s, b = config.scan_hops, config.n_streams, ecfg.block_frames
+        if k > 1:
+            self._buffers = [
+                (
+                    np.zeros((k, s, b, config.channels), np.float32),
+                    np.zeros((k, s), np.uint8),
+                    np.zeros((k, s), np.uint8),
+                )
+                for _ in range(2)
+            ]
+        else:
+            self._buffers = [self.transport.make_buffers() for _ in range(2)]
+        self._pool = (
+            ThreadPoolExecutor(config.assembler_shards)
+            if config.assembler_shards > 1
+            else None
+        )
+        self.paused = False
+        self._resume_mask = None  # set by restore(): streams whose next
+        # generation reset is the resumption itself (suppressed once)
+        self.stats = EngineStats()
+        self.latencies_ms: list[float] = []
+        self.last_snapshot = None
+        self.on_drain = None  # optional display-rate callback (fires per drained fetch)
+        self._inflight: list[tuple[float, object]] = []
+        self._buf_i = 0
+        self._warm_pipeline(fresh_carry=True)
+
+    def _build_pipeline(self, mesh) -> None:
+        """Compile the dispatch functions for the CURRENT ``self.engine``:
+        the fast step, and the separate spectrum-hop dispatch when the
+        spectrum runs at its own cadence."""
+        import jax
+
+        config = self.config
 
         # cadenced spectrum: the spectrum hop spans R engine hops and is
         # dispatched separately every R-th advance (its own DspBatcher
@@ -170,38 +207,18 @@ class MeterServer:
                         ),
                         donate_argnums=0,
                     )
-        self.carry = self._place(self.engine.init(config.n_streams))
-        k, s, b = config.scan_hops, config.n_streams, ecfg.block_frames
-        if k > 1:
-            self._buffers = [
-                (
-                    np.zeros((k, s, b, config.channels), np.float32),
-                    np.zeros((k, s), np.uint8),
-                    np.zeros((k, s), np.uint8),
-                )
-                for _ in range(2)
-            ]
-        else:
-            self._buffers = [self.transport.make_buffers() for _ in range(2)]
-        self._pool = (
-            ThreadPoolExecutor(config.assembler_shards)
-            if config.assembler_shards > 1
-            else None
-        )
-        self.paused = False
-        self._resume_mask = None  # set by restore(): streams whose next
-        # generation reset is the resumption itself (suppressed once)
-        self.stats = EngineStats()
-        self.latencies_ms: list[float] = []
-        self.last_snapshot = None
-        self.on_drain = None  # optional display-rate callback (fires per drained fetch)
-        self._inflight: list[tuple[float, object]] = []
-        self._buf_i = 0
+    def _warm_pipeline(self, fresh_carry: bool) -> None:
+        """Compile before the clock starts: a cold first hop would stall past
+        the backlog cap and fault every stream.  Two chained steps, so the
+        second compiles against a step-output carry (donated layouts) —
+        otherwise the first real hop recompiles mid-serve.  Also derives the
+        meter mask / packers from the warm snapshot structure.  With
+        ``fresh_carry`` the live carry is re-initialized afterwards (startup);
+        without, the caller supplies the carry (apply_settings migration)."""
+        import jax
 
-        # compile before the clock starts: a cold first hop would stall past
-        # the backlog cap and fault every stream.  Two chained steps, so the
-        # second compiles against a step-output carry (donated layouts) —
-        # otherwise the first real hop recompiles mid-serve.
+        config = self.config
+        ecfg = self.engine.config
         lead = (config.scan_hops,) if config.scan_hops > 1 else ()
         zeros = jax.device_put(
             np.zeros(
@@ -210,7 +227,8 @@ class MeterServer:
             )
         )
         no_reset = jax.device_put(np.zeros((*lead, config.n_streams), bool))
-        warm_carry, warm_snaps = self._step(self.carry, zeros, self.meta, no_reset)
+        warm_carry = self._place(self.engine.init(config.n_streams))
+        warm_carry, warm_snaps = self._step(warm_carry, zeros, self.meta, no_reset)
         warm_carry, warm_snaps = self._step(warm_carry, zeros, self.meta, no_reset)
         if self._spectrum_step is not None:
             # warm the cadenced spectrum dispatch too (donated layouts)
@@ -223,7 +241,9 @@ class MeterServer:
                     np.float32,
                 )
             )
-            sp_reset = jax.device_put(np.zeros((config.n_streams,), bool))
+            sp_reset = jax.device_put(
+                np.zeros((self._cadence, config.n_streams), bool)
+            )
             sp_carry, sp_snap = self._spectrum_step(
                 warm_carry["spectrum"], sp_zeros, self.meta, sp_reset
             )
@@ -234,7 +254,9 @@ class MeterServer:
             warm_snaps = dict(warm_snaps, spectrum=sp_snap)
             self._dev_spectrum_snap = sp_snap
             self._spec_pending: list = []
-            self._spec_resets = np.zeros((config.n_streams,), bool)
+            # per-engine-hop reset rows: spectrum_step zeroes pre-reset
+            # blocks device-side so stale audio never enters the window
+            self._spec_resets = np.zeros((self._cadence, config.n_streams), bool)
         self._meter_mask = _meter_leaf_mask(warm_snaps, config.n_streams)
         picked = (
             [True] * len(self._meter_mask)
@@ -253,10 +275,64 @@ class MeterServer:
         # synchronize via a value fetch: on tunneled backends
         # block_until_ready can return before compilation finishes
         np.asarray(self._pack_leaves(self._pick(warm_snaps)))
-        del warm_carry  # donated input is gone; start from a fresh carry
-        self.carry = self._place(self.engine.init(config.n_streams))
+        del warm_carry  # donated input is gone
+        if fresh_carry:
+            self.carry = self._place(self.engine.init(config.n_streams))
+        if self._spectrum_step is not None:
+            # hold a true "no data yet" / current-state snapshot instead of
+            # the warmup dispatch's zeros-input snapshot
+            self._dev_spectrum_snap = self.engine.analyzers["spectrum"].emit(
+                self.carry["spectrum"]
+            )
 
     # -- control ------------------------------------------------------------
+
+    def apply_settings(self, engine_cfg: EngineConfig) -> None:
+        """Reconfigure the RUNNING server: swap the compiled step for the new
+        engine config and migrate the live carry at the reference's
+        ``update_config`` granularity (``MeterEngine.migrate_carry``) — e.g.
+        a spectrum floor change keeps the 3 s loudness window, the trigger
+        lock, and the spectrum's 16384-sample PCM window.
+
+        The transport's geometry is fixed at construction: ``sample_rate``,
+        ``block_frames`` and ``channels`` must be unchanged (a rate change
+        needs a new server, exactly as the reference rebuilds per-rate
+        processors).  Any partially-accumulated spectrum hop is dropped (the
+        new spectrum cadence restarts on a hop boundary).
+        """
+        if engine_cfg.channels != self.config.channels:
+            engine_cfg = dataclasses.replace(
+                engine_cfg, channels=self.config.channels
+            )
+        old_engine = self.engine
+        old_ecfg = old_engine.config
+        new_engine = MeterEngine(engine_cfg)
+        ecfg = new_engine.config
+        if (ecfg.sample_rate, ecfg.block_frames) != (
+            old_ecfg.sample_rate, old_ecfg.block_frames
+        ):
+            raise ValueError(
+                "apply_settings cannot change sample_rate/block_frames of a "
+                "running server (the transport owns them) — build a new "
+                f"MeterServer: {(ecfg.sample_rate, ecfg.block_frames)} != "
+                f"{(old_ecfg.sample_rate, old_ecfg.block_frames)}"
+            )
+        if self.config.scan_hops > 1 and new_engine.spectrum_cadence > 1 and (
+            self.config.scan_hops % new_engine.spectrum_cadence
+        ):
+            raise ValueError(
+                f"scan_hops ({self.config.scan_hops}) must be a multiple of "
+                f"the new spectrum cadence ({new_engine.spectrum_cadence})"
+            )
+        # migrate the live state BEFORE swapping (field-level retention)
+        carry = new_engine.migrate_carry(
+            old_engine, self.carry, self.config.n_streams
+        )
+        self.engine = new_engine
+        self.config = dataclasses.replace(self.config, engine=engine_cfg)
+        self._build_pipeline(self._mesh)
+        self.carry = self._place(carry)
+        self._warm_pipeline(fresh_carry=False)
 
     def set_paused(self, paused: bool) -> None:
         """Global pause: stop consuming (meter.rs:126-142)."""
@@ -295,6 +371,12 @@ class MeterServer:
             # carry resumes on a fresh spectrum-hop boundary
             self._spec_pending.clear()
             self._spec_resets[:] = False
+            # re-prime the held device snapshot from the restored averaging
+            # state — otherwise fetches report the discarded run's spectrum
+            # for up to R-1 advances after a restore
+            self._dev_spectrum_snap = self.engine.analyzers["spectrum"].emit(
+                self.carry["spectrum"]
+            )
         # a restarted transport flags each stream's first data as a
         # generation reset; that reset is the resumption itself — consume
         # the first one per stream so it cannot wipe the restored carry
@@ -365,7 +447,7 @@ class MeterServer:
             # cadence).  The batch handles are already on device for the
             # fast step — retaining them costs no extra transfer.
             self._spec_pending.append(dev_batch)
-            self._spec_resets |= rst  # host-side mask (k == 1 path)
+            self._spec_resets[len(self._spec_pending) - 1] = rst  # k == 1 path
             if len(self._spec_pending) == self._cadence:
                 import jax.numpy as jnp
 

@@ -197,3 +197,101 @@ def dataclasses_replace(cfg, **kw):
     import dataclasses
 
     return dataclasses.replace(cfg, **kw)
+
+
+def test_cadenced_spectrum_reset_aligned_matches_per_hop_path(rng):
+    """A reset on a spectrum-hop boundary: the cadenced path stays
+    bit-identical to the per-hop path through the reset (both freshness
+    counters restart at the same sample)."""
+    from openmeters_tpu.analyzers.spectrum import SpectrumAnalyzer, SpectrumConfig
+    from openmeters_tpu.engine import EngineConfig, MeterEngine, StreamMeta
+
+    s, b, hops = 2, 256, 24
+    cfg = SpectrumConfig(fft_size=2048, hop_size=1024)
+    eng = MeterEngine(
+        EngineConfig(
+            channels=2, spectrum=cfg, loudness=None, spectrogram=None,
+            oscilloscope=None, stereometer=None, waveform=None,
+        )
+    )
+    r = eng.spectrum_cadence
+    x = (rng.standard_normal((s, hops * b, 2)) * 0.3).astype(np.float32)
+    meta = StreamMeta.default(s, channels=2, pad_channels=2)
+    reset_hop = 8  # engine hop index, aligned: 8 % r == 0
+
+    carry = eng.init(s)
+    cadenced = []
+    for k in range(hops // r):
+        blocks = np.stack(
+            [x[:, (k * r + j) * b : (k * r + j + 1) * b] for j in range(r)]
+        )
+        resets = np.zeros((r, s), bool)
+        if k * r <= reset_hop < (k + 1) * r:
+            resets[reset_hop - k * r, 0] = True
+        carry, snaps = eng.super_step(carry, blocks, meta, resets=resets)
+        cadenced.append(np.asarray(snaps["spectrum"].raw_db))
+
+    ana = SpectrumAnalyzer(
+        dataclasses_replace(cfg, block_frames=b, sample_rate=48_000.0)
+    )
+    c = ana.init(s)
+    for i in range(hops):
+        rst = np.zeros((s,), bool)
+        rst[0] = i == reset_hop
+        c, snap = ana.step(c, x[:, i * b : (i + 1) * b], reset_mask=rst)
+        if i % r == r - 1:
+            np.testing.assert_array_equal(
+                np.asarray(snap.raw_db), cadenced[i // r]
+            )
+
+
+def test_cadenced_spectrum_reset_admits_no_stale_audio():
+    """A mid-spectrum-hop generation reset followed by silence: the first
+    valid post-reset column must sit at the floor.  spectrum_step zeroes the
+    pre-reset blocks device-side (engine.py), so the old generation's tone
+    cannot leak into the post-reset window (the advisor-flagged stale-sample
+    admission of the OR'd-mask formulation)."""
+    from openmeters_tpu.analyzers.spectrum import SpectrumConfig
+    from openmeters_tpu.engine import EngineConfig, MeterEngine, StreamMeta
+
+    s, b = 2, 256
+    cfg = SpectrumConfig(fft_size=2048, hop_size=1024)
+    eng = MeterEngine(
+        EngineConfig(
+            channels=2, spectrum=cfg, loudness=None, spectrogram=None,
+            oscilloscope=None, stereometer=None, waveform=None,
+        )
+    )
+    r = eng.spectrum_cadence
+    meta = StreamMeta.default(s, channels=2, pad_channels=2)
+    t = np.arange(b, dtype=np.float64) / 48_000.0
+    tone_block = np.broadcast_to(
+        (0.8 * np.sin(2 * np.pi * 3000.0 * np.arange(b) / 48_000.0))
+        .astype(np.float32)[None, :, None],
+        (s, b, 2),
+    )
+    del t
+    silence = np.zeros((s, b, 2), np.float32)
+    floor = cfg.floor_db
+
+    carry = eng.init(s)
+    # spectrum hops 0-1: loud tone, no resets (fills the window)
+    for _ in range(2):
+        blocks = np.stack([tone_block] * r)
+        carry, snaps = eng.super_step(carry, blocks, meta)
+    assert np.asarray(snaps["spectrum"].raw_db)[0].max() > floor + 20.0
+
+    # spectrum hop 2: reset stream 0 at engine hop j=2; blocks before it are
+    # old-generation tone, blocks at/after it are the new generation (silence)
+    blocks = np.stack([tone_block, tone_block, silence, silence])
+    resets = np.zeros((r, s), bool)
+    resets[2, 0] = True
+    carry, snaps = eng.super_step(carry, blocks, meta, resets=resets)
+
+    # silence thereafter; once post-reset columns are valid they are floor
+    for _ in range(3):
+        blocks = np.stack([silence] * r)
+        carry, snaps = eng.super_step(carry, blocks, meta)
+    raw = np.asarray(snaps["spectrum"].raw_db)
+    assert bool(np.asarray(snaps["spectrum"].updated)[0])
+    np.testing.assert_array_equal(raw[0], np.full_like(raw[0], floor))

@@ -3,6 +3,7 @@
 import time
 
 import numpy as np
+import pytest
 
 from openmeters_tpu.analyzers.spectrogram import SpectrogramConfig
 from openmeters_tpu.engine import EngineConfig, MeterEngine, StreamMeta
@@ -433,23 +434,123 @@ def test_serve_cadenced_spectrum_updates_every_r_hops():
     stereo = np.stack([x, x], axis=-1)
 
     updated_flags = []
+    raws = []
     try:
         for i in range(24):
-            blk = stereo[i * block : (i + 1) * block]
+            # amplitude steps per spectrum hop so consecutive spectrum
+            # snapshots are distinguishable
+            amp = 0.25 * (1 + i // 4)
+            blk = amp * stereo[i * block : (i + 1) * block]
             ts = int(i * block / rate * 1e9)
             for st in range(2):
                 server.transport.push_pcm(st, blk, ts)
             server.advance()
             m = server.fetch_meters_now()
             key = next(k for k in m if "spectrum" in k and "updated" in k)
+            raw_key = next(k for k in m if "spectrum" in k and "raw_db" in k)
             updated_flags.append(bool(np.asarray(m[key])[0]))
-        # the updated flag flips true once the first full window fills and
-        # only refreshes on spectrum-hop boundaries thereafter
-        assert updated_flags[-1] or updated_flags[-2] or updated_flags[-3] or updated_flags[-4]
-        raw_key = next(k for k in m if "raw_db" in k)
-        raw = np.asarray(m[raw_key])  # [S, 2, bins]
+            raws.append(np.asarray(m[raw_key]).copy())
+        # before the first spectrum hop completes (i=3) the held snapshot is
+        # the init-time "no data" emit: updated False, floor dB
+        assert updated_flags == [i >= 3 for i in range(24)], updated_flags
+        floor = server.engine.config.spectrum.floor_db
+        for i in range(3):
+            np.testing.assert_array_equal(raws[i], floor)
+        # the snapshot refreshes ONLY at i % 4 == 3 and holds in between
+        for i in range(3, 24):
+            j = 3 + 4 * ((i - 3) // 4)  # the spectrum hop this i holds
+            np.testing.assert_array_equal(raws[i], raws[j])
+        for j in range(3, 20, 4):
+            assert not np.array_equal(raws[j], raws[j + 4]), (
+                f"spectrum did not refresh between hops {j} and {j + 4}"
+            )
+        raw = raws[-1]  # [S, 2, bins]
         bins = np.fft.rfftfreq(1024, 1.0 / rate)
         peak_bin = int(np.argmax(raw[0, 0]))
         assert abs(bins[peak_bin] - 3000.0) < 100.0
+    finally:
+        server.close()
+
+
+def test_serve_apply_settings_live_floor_change():
+    """Live reconfiguration: a running server applies a spectrum floor change
+    without dropping the loudness window or the spectrum's PCM state
+    (reference VisualManager::apply_module_settings -> update_config,
+    registry.rs:345, spectrum/processor.rs:300-326)."""
+    import dataclasses as dc
+
+    from openmeters_tpu.analyzers.spectrum import SpectrumConfig
+
+    engine = EngineConfig(
+        channels=2, spectrogram=None,
+        spectrum=SpectrumConfig(fft_size=1024, hop_size=1024),
+        oscilloscope=None, stereometer=None, waveform=None,
+    )
+    cfg = ServeConfig(
+        n_streams=2, channels=2, engine=engine, realtime=False,
+        fetch="full", fetch_every=1, coalesce_blocks=1,
+    )
+    server = MeterServer(cfg)
+    rate, block = 48_000.0, 256
+    t = np.arange(0, 48 * block, dtype=np.float64) / rate
+    x = (0.5 * np.sin(2.0 * np.pi * 997.0 * t)).astype(np.float32)
+    stereo = np.stack([x, x], axis=-1)
+
+    def hop(i):
+        blk = stereo[i * block : (i + 1) * block]
+        ts = int(i * block / rate * 1e9)
+        for st in range(2):
+            server.transport.push_pcm(st, blk, ts)
+        server.advance()
+        return server.fetch_meters_now()
+
+    try:
+        for i in range(16):
+            m = hop(i)
+        mom_key = next(k for k in m if "momentary" in k)
+        raw_key = next(k for k in m if "spectrum" in k and "raw_db" in k)
+        mom_before = float(np.asarray(m[mom_key])[0])
+        assert mom_before > -10  # window is warm
+        assert float(np.asarray(m[raw_key])[0, 0].max()) > -30
+
+        server.apply_settings(
+            dc.replace(
+                engine, spectrum=dc.replace(engine.spectrum, floor_db=-90.0)
+            )
+        )
+        assert server.engine.config.spectrum.floor_db == -90.0
+
+        # the very next hop: loudness window kept (no warmup dip)
+        m = hop(16)
+        mom_after = float(np.asarray(m[mom_key])[0])
+        assert abs(mom_after - mom_before) < 0.1, (mom_before, mom_after)
+        # spectrum PCM kept: the next spectrum-hop boundary re-emits the
+        # tone column (never refilled from scratch)
+        for i in range(17, 24):
+            m = hop(i)
+        raw = np.asarray(m[raw_key])
+        assert float(raw[0, 0].max()) > -30
+        # and the new floor is in effect
+        assert float(raw[0, 0].min()) == pytest.approx(-90.0)
+        # server continues to serve correct meters across the swap
+        assert float(np.asarray(m[mom_key])[0]) > -10
+    finally:
+        server.close()
+
+
+def test_serve_apply_settings_rejects_rate_change():
+    import dataclasses as dc
+
+    engine = EngineConfig(
+        channels=2, spectrogram=None, spectrum=None,
+        oscilloscope=None, stereometer=None, waveform=None,
+    )
+    cfg = ServeConfig(n_streams=1, channels=2, engine=engine, realtime=False)
+    server = MeterServer(cfg)
+    try:
+        with pytest.raises(ValueError, match="sample_rate"):
+            server.apply_settings(
+                dc.replace(engine, sample_rate=96_000.0, block_frames=512)
+            )
     finally:
         server.close()

@@ -110,6 +110,10 @@ def main():
         # loop's dispatch structure (see bench.py for the structure-tax
         # measurements that ruled out nesting/unrolling)
         assert iters % r == 0, (iters, r)
+        assert 8 % r == 0, (
+            f"spectrum cadence {r} must divide the 8-block host window; "
+            f"pick a hop that is a power-of-two multiple of the block"
+        )
 
         @jax.jit
         def run_k(carry, blocks_in):
