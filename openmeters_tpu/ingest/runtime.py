@@ -46,7 +46,18 @@ Wire protocol (little-endian):
   Kinds: 0 = PCM, 1 = SILENCE (no payload), 2 = FAULT (no payload),
   3 = FORMAT (``frames`` carries the new channel count; ``timestamp_ns``
   carries the new sample rate in Hz, 0 = unchanged; bumps the generation
-  like a renegotiation).
+  like a renegotiation), 4 = LAYOUT (``frames`` = payload byte length;
+  payload = one JSON object ``{"channels", "sample_rate"?, "positions"?}``
+  — FORMAT plus a channel-position list, the full renegotiation of
+  reference ``stream.rs:24-264``).
+
+Channel positions (reference ``AudioFormat.positions``, dsp.rs:79-106)
+ride the HELLO (optional ``"positions": ["FL","FR","FC","LFE",...]``) and
+LAYOUT messages; the runtime normalizes them (dedup + fallback fill,
+dsp.rs:49-76), echoes the result in the HELLO reply, and surfaces every
+(re)negotiated layout through the ``on_layout`` callback so the serving
+layer can derive per-stream fold matrices and BS.1770 weights
+(dsp.rs:135-176, loudness/processor.rs:174-183).
 """
 
 from __future__ import annotations
@@ -69,7 +80,29 @@ MSG_PCM = 0
 MSG_SILENCE = 1
 MSG_FAULT = 2
 MSG_FORMAT = 3
+MSG_LAYOUT = 4
 _HEADER = struct.Struct("<IIQ")
+
+
+def _parse_positions(channels: int, raw) -> list:
+    """Decode a wire position list (``["FL", "FR", ...]``) into normalized
+    :class:`ChannelPosition`s; unknown tokens become UNKNOWN and fall back
+    (reference dsp.rs:49-76).  ``raw=None`` yields the count fallback."""
+    from openmeters_tpu.utils.channels import (
+        ChannelPosition,
+        channel_fallback,
+        normalize_positions,
+    )
+
+    if not raw:
+        return channel_fallback(channels)
+    decoded = []
+    for token in list(raw)[:channels]:
+        try:
+            decoded.append(ChannelPosition(str(token)))
+        except ValueError:
+            decoded.append(ChannelPosition.UNKNOWN)
+    return normalize_positions(channels, decoded)
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
@@ -98,7 +131,13 @@ class SessionRuntime:
         socket_path: str,
         max_channels: int | None = None,
         default_rate: float | None = None,
+        on_layout=None,
     ):
+        """``on_layout(rate, slot, channels, positions)`` fires (from pump
+        threads) on every negotiated layout: HELLO, FORMAT, LAYOUT, and rate
+        re-routes — the hook the serving layer uses to maintain per-stream
+        fold/weight rows (reference ``AudioFormat`` propagation)."""
+        self._on_layout = on_layout
         if isinstance(transport, dict):
             buckets = {float(r): tp for r, tp in transport.items()}
         else:
@@ -215,6 +254,7 @@ class SessionRuntime:
             # desyncing — the client reconnects and renegotiates at HELLO
             wire_max = min(self._max_channels, tp.channels)
             channels = min(max(int(props.get("channels", 2)), 1), wire_max)
+            positions = _parse_positions(channels, props.get("positions"))
 
             with self._lock:
                 if key in self._owner:
@@ -238,6 +278,8 @@ class SessionRuntime:
                 )
             tp.set_channels(slot, channels)
             tp.set_generation(slot, gen)
+            if self._on_layout is not None:
+                self._on_layout(rate, slot, channels, positions)
             conn.sendall(
                 json.dumps(
                     {
@@ -245,6 +287,9 @@ class SessionRuntime:
                         "generation": gen,
                         "channels": channels,
                         "sample_rate": rate,
+                        # the normalized layout (dedup + fallback fill) the
+                        # engine will fold/weight with
+                        "positions": [p.value for p in positions[:channels]],
                         # the clamp bound, so the client can mirror the
                         # server's FORMAT negotiation exactly for the whole
                         # link (rate re-routes that can't honor it drop the
@@ -274,9 +319,20 @@ class SessionRuntime:
                     tp.push_silence(slot, frames, ts_ns)
                 elif kind == MSG_FAULT:
                     tp.push_fault(slot)
-                elif kind == MSG_FORMAT:
-                    channels = min(max(int(frames), 1), wire_max)
-                    new_rate = float(ts_ns) if ts_ns > 0 else rate
+                elif kind in (MSG_FORMAT, MSG_LAYOUT):
+                    if kind == MSG_LAYOUT:
+                        payload = _recv_exact(conn, frames)
+                        if payload is None:
+                            break
+                        spec = json.loads(payload.decode())
+                        new_channels = int(spec.get("channels", channels))
+                        new_rate = float(spec.get("sample_rate") or rate)
+                        raw_positions = spec.get("positions")
+                    else:
+                        new_channels = int(frames)
+                        new_rate = float(ts_ns) if ts_ns > 0 else rate
+                        raw_positions = None
+                    channels = min(max(new_channels, 1), wire_max)
                     if new_rate != rate:
                         # rate change re-routes to the new rate's bucket
                         # (reset-on-rate-change, meter.rs:20-25)
@@ -301,11 +357,14 @@ class SessionRuntime:
                             # client negotiated at HELLO: drop the link (the
                             # client's backoff reconnect renegotiates fresh)
                             break
+                    positions = _parse_positions(channels, raw_positions)
                     with self._lock:
                         gen = self._next_generation(rate, slot)
                         self._note_stats(key, channels=channels)
                     tp.set_channels(slot, channels)
                     tp.set_generation(slot, gen)
+                    if self._on_layout is not None:
+                        self._on_layout(rate, slot, channels, positions)
                 else:
                     break
         except (OSError, ValueError, json.JSONDecodeError):
@@ -386,6 +445,7 @@ class ProducerClient:
         self.channels: int | None = None
         self.sample_rate: float | None = None
         self.max_channels: int | None = None
+        self.positions: list | None = None
         self.refusal: dict | None = None
 
     def connect(self) -> int | None:
@@ -417,6 +477,7 @@ class ProducerClient:
                 self.channels = int(r.get("channels", self._props.get("channels", 2)))
                 self.sample_rate = float(r.get("sample_rate", 48_000.0))
                 self.max_channels = int(r.get("max_channels", self.channels))
+                self.positions = r.get("positions")  # normalized by the runtime
                 return self.slot
             except OSError:
                 time.sleep(min(backoff.failure(), max(deadline - time.monotonic(), 0)))
@@ -443,6 +504,27 @@ class ProducerClient:
 
     def send_fault(self):
         self.sock.sendall(_HEADER.pack(MSG_FAULT, 0, 0))
+
+    def send_layout(
+        self, channels: int, positions=None, sample_rate: float | None = None
+    ):
+        """Full mid-stream renegotiation including channel positions
+        (MSG_LAYOUT; reference ``stream.rs`` set_format semantics)."""
+        spec = {"channels": int(channels)}
+        if sample_rate:
+            spec["sample_rate"] = float(sample_rate)
+        if positions is not None:
+            spec["positions"] = [
+                p.value if hasattr(p, "value") else str(p) for p in positions
+            ]
+        payload = json.dumps(spec).encode()
+        self.sock.sendall(_HEADER.pack(MSG_LAYOUT, len(payload), 0) + payload)
+        negotiated = max(int(channels), 1)
+        if self.max_channels is not None:
+            negotiated = min(negotiated, self.max_channels)
+        self.channels = negotiated
+        if sample_rate:
+            self.sample_rate = float(sample_rate)
 
     def send_format(self, channels: int, sample_rate: float | None = None):
         """Renegotiate channels (and optionally rate) mid-stream.  FORMAT

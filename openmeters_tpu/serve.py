@@ -118,6 +118,16 @@ class MeterServer:
         self.meta = StreamMeta.default(
             config.n_streams, channels=config.channels, pad_channels=config.channels
         )
+        # per-stream layout rows (reference AudioFormat.positions ->
+        # fold/weights, dsp.rs:79-176): producers renegotiate positions via
+        # the ingest protocol; set_stream_layout updates the host rows and
+        # the device meta is re-put on the next advance
+        import threading
+
+        self._meta_lock = threading.Lock()
+        self._meta_fold = np.asarray(self.meta.fold).copy()
+        self._meta_weights = np.asarray(self.meta.weights).copy()
+        self._meta_dirty = False
         self._mesh = mesh
         self._build_pipeline(mesh)
         k, s, b = config.scan_hops, config.n_streams, ecfg.block_frames
@@ -385,6 +395,33 @@ class MeterServer:
     def set_active(self, stream: int, active: bool) -> None:
         self.transport.set_active(stream, active)
 
+    def set_stream_layout(self, stream: int, channels: int, positions=None) -> None:
+        """Apply a producer's (re)negotiated channel layout to this stream:
+        rebuild its stereo fold row (dsp.rs:135-176) and BS.1770 weight row
+        (LFE x0, surround x1.41, loudness/processor.rs:174-183).  Thread-safe
+        (called from ingest pump threads); takes effect on the next hop."""
+        from openmeters_tpu.utils.channels import (
+            channel_fallback,
+            channel_weights,
+            normalize_positions,
+            stereo_matrix,
+        )
+
+        pad = self.config.channels
+        channels = min(max(int(channels), 1), pad)
+        positions = (
+            normalize_positions(channels, positions)
+            if positions
+            else channel_fallback(channels)
+        )
+        fold = stereo_matrix(channels, positions)[:pad]
+        weights = channel_weights(positions)[:pad].copy()
+        weights[channels:] = 0.0  # frames beyond the producer width are mute
+        with self._meta_lock:
+            self._meta_fold[stream] = fold
+            self._meta_weights[stream] = weights
+            self._meta_dirty = True
+
     # -- the loop -----------------------------------------------------------
 
     def _advance_one(self) -> None:
@@ -396,6 +433,17 @@ class MeterServer:
         buf_i = self._buf_i
         batch, reset, underrun = self._buffers[buf_i]
         self._buf_i ^= 1
+        if self._meta_dirty:
+            # a producer renegotiated its channel layout: swap in the
+            # rebuilt fold/weight rows (takes effect this hop, alongside
+            # the generation reset the renegotiation produced)
+            with self._meta_lock:
+                new_meta = StreamMeta(
+                    fold=jax.device_put(self._meta_fold.copy()),
+                    weights=jax.device_put(self._meta_weights.copy()),
+                )
+                self._meta_dirty = False
+            self.meta = new_meta
         t0 = time.perf_counter()
         if k > 1:
             n_resets = n_under = 0
@@ -613,10 +661,16 @@ class MultiRateMeterServer:
         if socket_path is not None:
             from openmeters_tpu.ingest.runtime import SessionRuntime
 
+            def on_layout(rate, slot, channels, positions):
+                # thread per-stream positions into the rate bucket's engine
+                # meta (reference AudioFormat -> fold/weights propagation)
+                self.servers[rate].set_stream_layout(slot, channels, positions)
+
             self.runtime = SessionRuntime(
                 {r: s.transport for r, s in self.servers.items()},
                 socket_path,
                 max_channels=config.channels,
+                on_layout=on_layout,
             )
 
     def advance(self) -> None:

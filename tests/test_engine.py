@@ -152,9 +152,11 @@ def test_multihost_mesh_shards_without_collectives():
 
 def test_cadenced_spectrum_matches_per_hop_path(rng):
     """The cadenced spectrum (hop = R engine blocks stepped once per R hops
-    via ``spectrum_step``) is bit-identical to the per-hop cond-held path
-    (hop > block inside one analyzer) on the same audio, at every spectrum
-    hop boundary."""
+    via ``spectrum_step``) matches the per-hop cond-held path (hop > block
+    inside one analyzer) on the same audio at every spectrum hop boundary.
+    The two paths use different exact formulations (direct windowed rFFT vs
+    sliding DFT — see SpectrumAnalyzer.use_sliding), so parity is to f32
+    roundoff, orders below the 0.02 dB golden-test bar."""
     from openmeters_tpu.analyzers.spectrum import SpectrumAnalyzer, SpectrumConfig
     from openmeters_tpu.engine import EngineConfig, MeterEngine, StreamMeta
 
@@ -188,8 +190,8 @@ def test_cadenced_spectrum_matches_per_hop_path(rng):
     for i in range(hops):
         c, snap = ana.step(c, x[:, i * b : (i + 1) * b])
         if i % r == r - 1:
-            np.testing.assert_array_equal(
-                np.asarray(snap.raw_db), cadenced[i // r]
+            np.testing.assert_allclose(
+                np.asarray(snap.raw_db), cadenced[i // r], atol=1e-3
             )
 
 
@@ -200,9 +202,10 @@ def dataclasses_replace(cfg, **kw):
 
 
 def test_cadenced_spectrum_reset_aligned_matches_per_hop_path(rng):
-    """A reset on a spectrum-hop boundary: the cadenced path stays
-    bit-identical to the per-hop path through the reset (both freshness
-    counters restart at the same sample)."""
+    """A reset on a spectrum-hop boundary: the cadenced path matches the
+    per-hop path through the reset (both freshness counters restart at the
+    same sample; values equal to f32 roundoff across the two exact
+    formulations)."""
     from openmeters_tpu.analyzers.spectrum import SpectrumAnalyzer, SpectrumConfig
     from openmeters_tpu.engine import EngineConfig, MeterEngine, StreamMeta
 
@@ -240,8 +243,8 @@ def test_cadenced_spectrum_reset_aligned_matches_per_hop_path(rng):
         rst[0] = i == reset_hop
         c, snap = ana.step(c, x[:, i * b : (i + 1) * b], reset_mask=rst)
         if i % r == r - 1:
-            np.testing.assert_array_equal(
-                np.asarray(snap.raw_db), cadenced[i // r]
+            np.testing.assert_allclose(
+                np.asarray(snap.raw_db), cadenced[i // r], atol=1e-3
             )
 
 

@@ -554,3 +554,107 @@ def test_serve_apply_settings_rejects_rate_change():
             )
     finally:
         server.close()
+
+
+def test_positions_5_1_through_socket(tmp_path):
+    """Channel positions end to end (reference stream.rs:24-264 +
+    dsp.rs:79-176): a 5.1 producer announces positions in HELLO; the ingest
+    runtime threads them into the serving engine's per-stream weights —
+    LFE is excluded from LUFS (weight 0) and surround channels get x1.41
+    (loudness/processor.rs:174-183)."""
+    import threading
+
+    from openmeters_tpu.ingest.runtime import ProducerClient
+    from openmeters_tpu.serve import MultiRateMeterServer
+
+    sock = str(tmp_path / "pos.sock")
+    engine = EngineConfig(
+        channels=6, spectrogram=None, spectrum=None,
+        oscilloscope=None, stereometer=None, waveform=None,
+    )
+    server = MultiRateMeterServer(
+        ServeConfig(n_streams=3, channels=6, engine=engine, realtime=True,
+                    fetch="meters", fetch_every=2),
+        rates=(48_000.0,),
+        socket_path=sock,
+    )
+    positions = ["FL", "FR", "FC", "LFE", "RL", "RR"]
+    rate = 48_000.0
+    burst_s = 0.9
+    done = {}
+
+    def produce(name: str, tone_channel: int):
+        c = ProducerClient(sock, {"app_name": name, "channels": 6,
+                                  "sample_rate": rate, "positions": positions})
+        slot = c.connect()
+        assert slot is not None and c.channels == 6
+        assert c.positions == positions  # normalized echo
+        block, total, n = 256, int(burst_s * rate), 0
+        while n < total:
+            t = np.arange(n, n + block, dtype=np.float64) / rate
+            x = np.zeros((block, 6), np.float32)
+            x[:, tone_channel] = 0.5 * np.sin(2 * np.pi * 997.0 * t)
+            c.send_pcm(x, int(n / rate * 1e9))
+            n += block
+        done[name].set()
+        done["stop"].wait(timeout=60)
+        c.close()
+
+    producers = {"fl": 0, "lfe": 3, "rl": 4}
+    done = {name: threading.Event() for name in producers}
+    done["stop"] = threading.Event()
+    threads = [
+        threading.Thread(target=produce, args=(nm, ch), daemon=True)
+        for nm, ch in producers.items()
+    ]
+    for t in threads:
+        t.start()
+    try:
+        for name in producers:
+            assert done[name].wait(timeout=60.0), name
+        srv = server.servers[rate]
+        deadline = time.monotonic() + 30.0
+        want = int(burst_s * rate)
+        last = [-1] * 3
+        while time.monotonic() < deadline:
+            now = [srv.transport.buffered_frames(s) for s in range(3)]
+            if all(n >= want and n == l for n, l in zip(now, last)):
+                break
+            last = now
+            time.sleep(0.05)
+        slots = {}
+        view = server.runtime.view()
+        for key, stats in view["links"].items():
+            for nm in producers:
+                if nm in key:
+                    slots[nm] = stats["slot"]
+        assert len(slots) == 3, view["links"]
+
+        peaks = {}
+
+        def cb(s):
+            m = s.last_meters()
+            if m:
+                key = next(k for k in m if "momentary" in k)
+                vals = np.asarray(m[key], np.float64)
+                for slot, v in enumerate(vals):
+                    peaks[slot] = max(peaks.get(slot, -np.inf), v)
+
+        srv.on_drain = cb
+        server.run(0.3)
+        blk = srv.engine.config.block_frames
+        while max(srv.transport.buffered_frames(s) for s in range(3)) >= blk:
+            srv.advance()
+        srv.fetch_meters_now()
+        cb(srv)
+    finally:
+        done["stop"].set()
+        server.close()
+
+    fl, lfe, rl = (peaks[slots[n]] for n in ("fl", "lfe", "rl"))
+    # a -6 dBFS tone on FL alone reads -0.691 + 10log10(0.5*0.25) ~= -9.7
+    assert -11.0 < fl < -8.5, (fl, peaks)
+    # the LFE channel is excluded from loudness entirely
+    assert lfe < fl - 30.0, (lfe, fl)
+    # surround weight 1.41 lifts the rear-left tone by 10log10(1.41) dB
+    assert rl - fl == pytest.approx(10 * np.log10(1.41), abs=0.15), (rl, fl)
