@@ -958,14 +958,20 @@ class OscilloscopeAnalyzer:
                 delta = jnp.concatenate([leave, nb], axis=-1)
                 # HIGH: NSDF tolerates bf16x3-class error (see
                 # _estimate_period); drift is bounded by the exact
-                # re-anchor every PROBE_REFRESH hops
+                # re-anchor every PROBE_REFRESH hops.  One lane-packed dot
+                # ([re | im] columns) instead of two half-dots: the slide is
+                # overhead-bound at these shapes, not FLOP-bound.
                 prec = jax.lax.Precision.HIGH
-                dr = jnp.einsum(
-                    "sb,bk->sk", delta, jnp.asarray(mat_re), precision=prec
+                packed = jnp.einsum(
+                    "sb,bk->sk",
+                    delta,
+                    jnp.concatenate(
+                        [jnp.asarray(mat_re), jnp.asarray(mat_im)], axis=1
+                    ),
+                    precision=prec,
                 )
-                di = jnp.einsum(
-                    "sb,bk->sk", delta, jnp.asarray(mat_im), precision=prec
-                )
+                bins = mat_re.shape[1]
+                dr, di = packed[:, :bins], packed[:, bins:]
                 xr, xi = carry["pspec_re"], carry["pspec_im"]
                 return (
                     xr * rot_r - xi * rot_i + dr,

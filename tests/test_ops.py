@@ -357,3 +357,37 @@ def test_sliding_stft_negative_offset_reads_wrap_not_clip(rng):
     slid = run(32)      # 31 consecutive slides between anchors
     scale = float(np.max(exact))
     np.testing.assert_allclose(slid, exact, atol=1e-3 * scale)
+
+
+def test_three_band_lifted_matches_sequential(rng):
+    """The MIMO lifted (block state-space) crossover is the same LTI system
+    as the sequential scan — parity to f32 rounding, state carried across
+    blocks, both ThreeBand topologies (waveform single-biquad, stereometer
+    LR4 cascade_high)."""
+    from openmeters_tpu.ops.iir import (
+        three_band_init,
+        three_band_lifted,
+        three_band_scan,
+    )
+
+    for cn, ch in ((1, False), (2, True)):
+        x1 = (rng.standard_normal((256, 5)) * 0.5).astype(np.float32)
+        x2 = (rng.standard_normal((256, 5)) * 0.5).astype(np.float32)
+        st = three_band_init((5,), cn)
+        b1, s_seq = three_band_scan(x1, st, 48_000.0, cascade_n=cn, cascade_high=ch)
+        b2, s_seq = three_band_scan(x2, s_seq, 48_000.0, cascade_n=cn, cascade_high=ch)
+        l1, s_lift = three_band_lifted(x1, st, 48_000.0, cascade_n=cn, cascade_high=ch)
+        l2, s_lift = three_band_lifted(x2, s_lift, 48_000.0, cascade_n=cn, cascade_high=ch)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(b1), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(b2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(s_lift), np.asarray(s_seq), atol=1e-4)
+
+    # non-finite input: sanitized to 0, output always finite
+    x = np.zeros((64, 1), np.float32)
+    x[10] = np.nan
+    x[20] = np.inf
+    from openmeters_tpu.ops.iir import three_band_init, three_band_lifted
+
+    bands, st2 = three_band_lifted(x, three_band_init((1,), 1), 48_000.0)
+    assert np.all(np.isfinite(np.asarray(bands)))
+    assert np.all(np.isfinite(np.asarray(st2)))

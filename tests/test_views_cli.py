@@ -266,22 +266,32 @@ def test_cli_serve_socket_sessions(tmp_path, capsys):
 
     sock = str(tmp_path / "cli.sock")
     connected = {}
+    stop = threading.Event()
 
     def producer():
-        deadline = time.monotonic() + 60.0
+        # schedule-tolerant: wait for the socket, connect, then keep the
+        # link alive with periodic pushes until the serve loop ends — a
+        # loaded CI host may not schedule this thread promptly, so nothing
+        # here asserts wall-clock timing (this test flaked on exactly that)
+        deadline = time.monotonic() + 120.0
         while time.monotonic() < deadline and not os.path.exists(sock):
             time.sleep(0.05)
         from openmeters_tpu.ingest.runtime import ProducerClient
 
         c = ProducerClient(
-            sock, {"app_name": "cli44", "channels": 2, "sample_rate": 44_100.0}
+            sock, {"app_name": "cli44", "channels": 2, "sample_rate": 44_100.0},
+            timeout=60.0,
         )
         try:
             connected["slot"] = c.connect()
             t = np.arange(4410) / 44_100.0
             x = (0.4 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
-            c.send_pcm(np.stack([x, x], -1), 0)
-            time.sleep(0.3)
+            n = 0
+            while not stop.wait(0.1):
+                c.send_pcm(np.stack([x, x], -1), int(n / 44_100.0 * 1e9))
+                n += len(x)
+        except OSError:
+            pass  # serve loop closed the socket first: fine
         finally:
             c.close()
 
@@ -289,8 +299,9 @@ def test_cli_serve_socket_sessions(tmp_path, capsys):
     th.start()
     rc = main([
         "serve", "--socket", sock, "--rates", "44100,48000",
-        "--streams", "2", "--duration", "2.0", "--fetch", "none",
+        "--streams", "2", "--duration", "5.0", "--fetch", "none",
     ])
+    stop.set()
     th.join(timeout=10)
     assert rc == 0
     assert connected.get("slot") is not None
