@@ -156,6 +156,8 @@ class MeterServer:
         self.on_drain = None  # optional display-rate callback (fires per drained fetch)
         self._inflight: list[tuple[float, object]] = []
         self._buf_i = 0
+        self._view_histories: dict = {}  # declare_view retention rings
+        self._view_stream = 0
         self._warm_pipeline(fresh_carry=True)
 
     def _build_pipeline(self, mesh) -> None:
@@ -395,6 +397,88 @@ class MeterServer:
     def set_active(self, stream: int, active: bool) -> None:
         self.transport.set_active(stream, active)
 
+    def declare_view(
+        self,
+        stream: int = 0,
+        spectrogram_columns: int | None = None,
+        waveform_columns: int | None = None,
+    ) -> dict:
+        """pre_ingest retention feedback (reference registry.rs:181-209):
+        a consumer declares, BEFORE ingest, how much history it can display;
+        the session sizes its retention to that — clamped through the
+        reference's budget math (``history_columns``: 128 MiB / 8192-column
+        cap; waveform ``MAX_COLUMN_CAPACITY``).  A narrow consumer therefore
+        bounds history memory; a greedy one cannot exceed the budget.
+
+        Bulk history here is HOST-side by design (the device holds only the
+        newest snapshot; the display-rate drain fetches bulk leaves in
+        ``fetch='full'`` mode), so the bound applies to the host rings the
+        drain feeds.  Returns the granted retention.
+        """
+        from openmeters_tpu.views import SpectrogramHistory, WaveformHistory
+
+        granted = {}
+        sg = self.engine.analyzers.get("spectrogram")
+        if spectrogram_columns is not None and sg is not None:
+            from openmeters_tpu.analyzers.spectrogram import history_columns
+
+            bins = sg.padded_fft // 2 + 1
+            cols = history_columns(
+                sg.config.use_reassignment, bins, spectrogram_columns
+            )
+            hist = self._view_histories.get("spectrogram")
+            if hist is None or hist.bins != bins:
+                self._view_histories["spectrogram"] = SpectrogramHistory(
+                    bins, cols
+                )
+            else:
+                hist.resize(cols)
+            granted["spectrogram_columns"] = cols
+        wf = self.engine.analyzers.get("waveform")
+        if waveform_columns is not None and wf is not None:
+            hist = self._view_histories.get("waveform")
+            if hist is None:
+                self._view_histories["waveform"] = WaveformHistory(
+                    max_columns=waveform_columns
+                )
+            else:
+                hist.resize(waveform_columns)
+            granted["waveform_columns"] = self._view_histories[
+                "waveform"
+            ].max_columns
+        self._view_stream = stream
+        return granted
+
+    def _feed_histories(self) -> None:
+        """Push the drained bulk leaves into the declared view rings
+        (display-rate, ``fetch='full'`` only — meter mode fetches no bulk)."""
+        if not self._view_histories:
+            return
+        meters = self.last_meters()
+        if not meters:
+            return
+        st = self._view_stream
+        sg_hist = self._view_histories.get("spectrogram")
+        if sg_hist is not None:
+            codes_key = next(
+                (k for k in meters if "spectrogram" in k and "codes" in k), None
+            )
+            valid_key = next(
+                (k for k in meters if "spectrogram" in k and "valid" in k), None
+            )
+            if codes_key and valid_key:
+                codes = np.asarray(meters[codes_key])[st]
+                valid = np.asarray(meters[valid_key])[st].astype(bool)
+                if valid.any():
+                    sg_hist.push(codes[valid].astype(np.uint16))
+        wf_hist = self._view_histories.get("waveform")
+        if wf_hist is not None:
+            from openmeters_tpu.views import waveform_columns_from_meters
+
+            cols = waveform_columns_from_meters(meters, st)
+            if cols:
+                wf_hist.push_columns(cols)
+
     def set_stream_layout(self, stream: int, channels: int, positions=None) -> None:
         """Apply a producer's (re)negotiated channel layout to this stream:
         rebuild its stereo fold row (dsp.rs:135-176) and BS.1770 weight row
@@ -533,6 +617,7 @@ class MeterServer:
         t0, packed = self._inflight.pop(0)
         self.last_snapshot = np.asarray(packed)
         self.latencies_ms.append((time.perf_counter() - t0) * 1e3)
+        self._feed_histories()
         if self.on_drain is not None:
             self.on_drain(self)  # display-rate consumer (e.g. the TUI)
 

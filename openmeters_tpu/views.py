@@ -403,10 +403,42 @@ class WaveformHistory:
             del self.columns[: len(self.columns) - self.max_columns]
         return count
 
+    def push_columns(self, cols: list[dict]) -> None:
+        """Append pre-extracted column records (the drained-fetch path)."""
+        self.columns.extend(cols)
+        if len(self.columns) > self.max_columns:
+            del self.columns[: len(self.columns) - self.max_columns]
+
     def resize(self, max_columns: int) -> None:
         self.max_columns = min(max(max_columns, 1), self.MAX_COLUMN_CAPACITY)
         if len(self.columns) > self.max_columns:
             del self.columns[: len(self.columns) - self.max_columns]
+
+
+def waveform_columns_from_meters(meters: dict, stream: int) -> list[dict]:
+    """Extract one stream's valid waveform column records from a drained
+    ``MeterServer.last_meters()`` dict (``fetch='full'`` mode)."""
+
+    def find(part):
+        return next(
+            (k for k in meters if "waveform" in k and part in k), None
+        )
+
+    keys = {p: find(p) for p in ("col_valid", "col_min", "col_max",
+                                 "col_color", "col_rms_db")}
+    if keys["col_valid"] is None:
+        return []
+    valid = np.asarray(meters[keys["col_valid"]])[stream].astype(bool)
+    out = []
+    for k in np.nonzero(valid)[0]:
+        rec = {"min": np.asarray(meters[keys["col_min"]])[stream, k],
+               "max": np.asarray(meters[keys["col_max"]])[stream, k]}
+        if keys["col_color"]:
+            rec["color"] = np.asarray(meters[keys["col_color"]])[stream, k]
+        if keys["col_rms_db"]:
+            rec["rms_db"] = np.asarray(meters[keys["col_rms_db"]])[stream, k]
+        out.append(rec)
+    return out
 
 
 class SpectrogramHistory:

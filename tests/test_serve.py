@@ -658,3 +658,61 @@ def test_positions_5_1_through_socket(tmp_path):
     assert lfe < fl - 30.0, (lfe, fl)
     # surround weight 1.41 lifts the rear-left tone by 10log10(1.41) dB
     assert rl - fl == pytest.approx(10 * np.log10(1.41), abs=0.15), (rl, fl)
+
+
+def test_declare_view_bounds_history_retention():
+    """pre_ingest retention feedback (reference registry.rs:181-209): a
+    consumer's declared display width bounds the session's history
+    retention; a greedy declaration clamps at the reference byte budget
+    (spectrogram/processor.rs:60-61,144-158)."""
+    from openmeters_tpu.analyzers.waveform import WaveformConfig
+
+    engine = EngineConfig(
+        channels=2,
+        spectrogram=SpectrogramConfig(fft_size=256, hop_size=64,
+                                      use_reassignment=False),
+        spectrum=None, oscilloscope=None, stereometer=None,
+        waveform=WaveformConfig(analyze_bands=False),
+    )
+    cfg = ServeConfig(
+        n_streams=2, channels=2, engine=engine, realtime=False,
+        fetch="full", fetch_every=1, coalesce_blocks=1,
+    )
+    server = MeterServer(cfg)
+    try:
+        granted = server.declare_view(
+            stream=0, spectrogram_columns=48, waveform_columns=16
+        )
+        assert granted == {"spectrogram_columns": 48, "waveform_columns": 16}
+        # a greedy consumer clamps at the budget caps
+        greedy = server.declare_view(
+            stream=0, spectrogram_columns=10**9, waveform_columns=10**9
+        )
+        assert greedy["spectrogram_columns"] <= 8192
+        assert greedy["waveform_columns"] == 8192
+        server.declare_view(stream=0, spectrogram_columns=48, waveform_columns=16)
+
+        rate, block = 48_000.0, 256
+        t = np.arange(0, 120 * block, dtype=np.float64) / rate
+        x = (0.5 * np.sin(2.0 * np.pi * 997.0 * t)).astype(np.float32)
+        stereo = np.stack([x, x], axis=-1)
+        for i in range(120):
+            blk = stereo[i * block : (i + 1) * block]
+            ts = int(i * block / rate * 1e9)
+            for st in range(2):
+                server.transport.push_pcm(st, blk, ts)
+            server.advance()
+        while server._inflight:  # noqa: SLF001
+            server._drain_one()  # noqa: SLF001
+
+        sg = server._view_histories["spectrogram"]  # noqa: SLF001
+        wf = server._view_histories["waveform"]  # noqa: SLF001
+        # 120 blocks at hop 64 produce ~480 spectrogram columns and many
+        # waveform columns; retention stays at the declared widths
+        assert sg.filled == 48
+        assert sg.data.nbytes == 48 * (256 // 2 + 1) * 2
+        assert len(wf.columns) == 16
+        # the ring holds real data (tone columns, not zeros)
+        assert int(sg.view().max()) > 0
+    finally:
+        server.close()
