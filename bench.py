@@ -336,7 +336,7 @@ def _report_latency_decomposition(tag: str, d: dict, hop_ms: float) -> None:
     )
 
 
-def build_reassigned_engine():
+def build_reassigned_engine(zero_padding_factor: int = 1):
     """The reference's DEFAULT spectrogram config: reassignment on, 2048/64
     (processor.rs:58-59) — the sliding-analytic path."""
     from openmeters_tpu.analyzers.spectrogram import SpectrogramConfig
@@ -347,7 +347,8 @@ def build_reassigned_engine():
             channels=2,
             loudness=None,
             spectrogram=SpectrogramConfig(
-                fft_size=2048, hop_size=64, use_reassignment=True
+                fft_size=2048, hop_size=64, use_reassignment=True,
+                zero_padding_factor=zero_padding_factor,
             ),
             spectrum=None,
             oscilloscope=None, stereometer=None, waveform=None,
@@ -441,6 +442,14 @@ def main():
     for n in (4096, 6144, 8192):
         r = measure(eng_r, n, iters=32)
         _report("reassigned-2048/64", r)
+        if not r["realtime"]:
+            break
+    # zero-padded reassignment (stock reference setting,
+    # processor.rs:45-56) on the padded-stencil sliding kernel
+    eng_z = build_reassigned_engine(zero_padding_factor=2)
+    for n in (2048, 4096):
+        r = measure(eng_z, n, iters=32)
+        _report("reassigned-2048/64 zpf2", r)
         if not r["realtime"]:
             break
     # the literal EngineConfig() reference default (all six, reassignment ON,

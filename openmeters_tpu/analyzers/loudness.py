@@ -182,7 +182,17 @@ class LoudnessAnalyzer:
         # means ring; OOM).  Deleted in round 3 — see NOTES.md.
         from openmeters_tpu.utils.envflags import snapshot_flag
 
-        if snapshot_flag("OPENMETERS_LIFTED_KW"):
+        # Shape-adaptive path choice (static at trace time, r5 measurements
+        # on v5e): the lifted block state-space scan wins at SMALL batches
+        # where the 256-step sequential chain is latency-bound (default
+        # EngineConfig() S=1024: 6.19 -> 5.78 ms/step), but loses at scale
+        # where it is bandwidth-bound and its per-block reshapes balloon
+        # (headline S=8192: 3.54 -> 5.17 ms/step; S=16384 OOMs on a
+        # [*, 4, 16384, 2] materialization).
+        use_lifted = snapshot_flag("OPENMETERS_LIFTED_KW") or (
+            s * c <= 4096 and not snapshot_flag("OPENMETERS_SEQ_KW")
+        )
+        if use_lifted:
             filtered, kw_state = lifted_iir_scan(x, kw_state, self._kw_coeffs)
         else:
             seq_state = jnp.stack(

@@ -208,7 +208,7 @@ class SpectrogramAnalyzer:
         cfg = self.config
         return SlidingReassigned(
             cfg.fft_size, cfg.hop_size, cfg.block_frames, cfg.window,
-            cfg.sample_rate,
+            cfg.sample_rate, zpf=cfg.zero_padding_factor,
         )
 
     @property
@@ -225,9 +225,8 @@ class SpectrogramAnalyzer:
             return False
         return (
             cfg.use_reassignment
-            and cfg.zero_padding_factor == 1
             and cfg.hop_size <= cfg.block_frames
-            and self._sliding_reassigned.supported
+            and self._sliding_reassigned.supported  # zpf in (1, 2) included
         )
 
     def init(self, n_streams: int) -> dict:

@@ -42,13 +42,16 @@ from openmeters_tpu.ops.pallas_sliding import _interpret, pallas_enabled  # noqa
 _STATE = 8  # uxr uxi uhr uhi vxr vxi vhr vhi
 
 
-def _build(T, cols, hop, bins, n, coeffs, inv_2pi, inv_hop, latency_hops):
+def _build(T, cols, hop, bins, n, coeffs, inv_2pi, inv_hop, latency_hops,
+           zpf: int = 1):
     import numpy as np
 
     a0 = float(coeffs[0])
     halves = [0.5 * float(c) for c in coeffs[1:]]
     gs = [np.pi * j * float(coeffs[j]) / n for j in range(1, len(coeffs))]
-    jm = len(halves)
+    # zero padding scales the stencil offsets: cos(2*pi*j*m/n) shifts a
+    # length-(n*zpf) transform by +-(zpf*j) bins (sliding_reassigned.py)
+    jzs = [zpf * j for j in range(1, len(coeffs))]
 
     def kern(ready_ref, *refs):
         st_refs = refs[:_STATE]
@@ -104,18 +107,18 @@ def _build(T, cols, hop, bins, n, coeffs, inv_2pi, inv_hop, latency_hops):
             er = xr - hi
             ei = xi + hr
             out = []
-            for j in range(1, jm + 1):
-                lo_r = pltpu.roll(er, j, 1)
-                lo_i = pltpu.roll(ei, j, 1)
-                hi_r = pltpu.roll(er, bins - j, 1)
-                hi_i = pltpu.roll(ei, bins - j, 1)
-                for e in range(j):
-                    m = lane == e  # position p = e - j < 0, mirror j - e
-                    src = slice(j - e, j - e + 1)
+            for jz in jzs:
+                lo_r = pltpu.roll(er, jz, 1)
+                lo_i = pltpu.roll(ei, jz, 1)
+                hi_r = pltpu.roll(er, bins - jz, 1)
+                hi_i = pltpu.roll(ei, bins - jz, 1)
+                for e in range(jz):
+                    m = lane == e  # position p = e - jz < 0, mirror jz - e
+                    src = slice(jz - e, jz - e + 1)
                     lo_r = jnp.where(m, xr[:, src] + hi[:, src], lo_r)
                     lo_i = jnp.where(m, hr[:, src] - xi[:, src], lo_i)
-                    m2 = lane == (bins - 1 - e)  # p = half + j - e
-                    src2 = slice(bins - 1 - j + e, bins - j + e)
+                    m2 = lane == (bins - 1 - e)  # p = half + jz - e
+                    src2 = slice(bins - 1 - jz + e, bins - jz + e)
                     hi_r = jnp.where(m2, xr[:, src2] + hi[:, src2], hi_r)
                     hi_i = jnp.where(m2, hr[:, src2] - xi[:, src2], hi_i)
                 out.append((lo_r, lo_i, hi_r, hi_i))
@@ -174,13 +177,13 @@ def _build(T, cols, hop, bins, n, coeffs, inv_2pi, inv_hop, latency_hops):
     jax.jit,
     static_argnames=(
         "cols", "hop", "bins", "n", "coeffs", "inv_2pi", "inv_hop",
-        "latency_hops",
+        "latency_hops", "zpf",
     ),
 )
 def reassigned_sliding_hop(
     ready, states, dx, dh, upd, rotr, roti, normq, freqb,
     *, cols: int, hop: int, bins: int, n: int, coeffs: tuple,
-    inv_2pi: float, inv_hop: float, latency_hops: float,
+    inv_2pi: float, inv_hop: float, latency_hops: float, zpf: int = 1,
 ):
     """One fused reassigned hop.
 
@@ -204,7 +207,7 @@ def reassigned_sliding_hop(
     sp = s + pad
 
     kern = _build(
-        T, cols, hop, bins, n, coeffs, inv_2pi, inv_hop, latency_hops
+        T, cols, hop, bins, n, coeffs, inv_2pi, inv_hop, latency_hops, zpf
     )
     row = pl.BlockSpec((1, bins), lambda i, *_: (0, 0))
     tile = pl.BlockSpec((T, bins), lambda i, *_: (i, 0))

@@ -74,6 +74,15 @@ class SlidingReassigned:
     block: int
     window: WindowKind
     sample_rate: float
+    # zero-padding factor: transforms run at length n*zpf with window
+    # support n (reference SpectrogramConfig.zero_padding_factor,
+    # processor.rs:45-56).  The slide algebra generalizes: exponent bases
+    # move to 1/(n*zpf), the new-sample delta rows pick up the extra
+    # omega^(k*n) phase, and the cosine-sum window stencils land at
+    # +-(zpf*j) bins — cos(2*pi*j*m/n) == cos(2*pi*(zpf*j)*m/(n*zpf)) on
+    # the window support, so the frequency-domain windowing stays EXACT
+    # under padding.
+    zpf: int = 1
     # exact re-anchor cadence: f32 slide drift is ~1e-6 relative per 8
     # hops (NOTES r2) — at 32 it stays ~4e-6, orders below the physics
     # bars (2 Hz / 1e-4 hop / 1%), and the amortized exact-FFT cond cost
@@ -85,8 +94,13 @@ class SlidingReassigned:
         return self.fft_size
 
     @property
+    def pfft(self) -> int:
+        """Padded transform length (n * zero_padding_factor)."""
+        return self.n * self.zpf
+
+    @property
     def bins(self) -> int:
-        return self.n // 2 + 1
+        return self.pfft // 2 + 1
 
     @property
     def h(self) -> int:
@@ -110,6 +124,7 @@ class SlidingReassigned:
         return (
             n >= 512
             and (n & (n - 1)) == 0
+            and self.zpf in (1, 2)
             and self.hop * 4 <= n  # high overlap: where sliding wins
             and self.margin % b == 0  # block-aligned hx ring writes
             and n >= 2 * b  # overlap-save margins stay >= n/2
@@ -135,11 +150,15 @@ class SlidingReassigned:
 
     @functools.lru_cache(maxsize=None)  # noqa: B019 (frozen dataclass)
     def _consts(self):
-        n, hop, bins = self.n, self.hop, self.bins
+        n, hop, bins, pfft = self.n, self.hop, self.bins, self.pfft
         k = np.arange(bins)
-        rot = np.exp(2j * np.pi * k * hop / n)
+        rot = np.exp(2j * np.pi * k * hop / pfft)
         j = np.arange(hop)
-        e = np.exp(-2j * np.pi * np.outer(j, k) / n)  # [hop, bins]
+        # entering samples sit at window positions n..n+hop-1, leaving at
+        # 0..hop-1; with padding (pfft > n) omega^(k*n) != 1, so the two
+        # delta exponent sets differ by that phase
+        e_old = np.exp(-2j * np.pi * np.outer(j, k) / pfft)  # [hop, bins]
+        e_new = np.exp(-2j * np.pi * np.outer(n + j, k) / pfft)
         c = (n - 1) * 0.5
         w_old = (c + hop - j)[:, None]
         w_new = (n + j - hop - c)[:, None]
@@ -147,8 +166,12 @@ class SlidingReassigned:
         # columns [U_re | U_im | V_re | V_im]
         upd = np.concatenate(
             [
-                np.concatenate([e.real, e.imag, w_new * e.real, w_new * e.imag], 1),
-                np.concatenate([-e.real, -e.imag, w_old * e.real, w_old * e.imag], 1),
+                np.concatenate(
+                    [e_new.real, e_new.imag, w_new * e_new.real, w_new * e_new.imag], 1
+                ),
+                np.concatenate(
+                    [-e_old.real, -e_old.imag, w_old * e_old.real, w_old * e_old.imag], 1
+                ),
             ],
             axis=0,
         ).astype(np.float32)  # [2*hop, 4*bins]
@@ -277,7 +300,7 @@ class SlidingReassigned:
         stacked = jnp.stack(
             [x_crop, hx_crop, x_crop * ramp, hx_crop * ramp], axis=1
         )  # [S, 4, n]
-        spec = rfft_mxu(stacked, n)
+        spec = rfft_mxu(stacked, self.pfft, in_len=n)
         ux, uh, vx, vh = (spec[:, i] for i in range(4))
         return {
             "uxr": jnp.real(ux), "uxi": jnp.imag(ux),
@@ -354,8 +377,10 @@ class SlidingReassigned:
         Returns (freq_hz, time_offset_hops, scaled_power) each [S, bins].
         """
         coeffs = self._stencil_coeffs()
-        jm = len(coeffs) - 1
-        n, bins = self.n, self.bins
+        z = self.zpf
+        jm = z * (len(coeffs) - 1)  # stencil offsets scale with padding
+        n = self.n
+        bins = self.bins
         norm = consts["norm"]
 
         ur, ui = self._extend(st, "u", jm)
@@ -369,15 +394,16 @@ class SlidingReassigned:
         tr, ti = a0 * sl(vr, 0), a0 * sl(vi, 0)
         dr = jnp.zeros_like(br)
         di = jnp.zeros_like(bi)
-        for j in range(1, jm + 1):
+        for j in range(1, len(coeffs)):
             half = 0.5 * coeffs[j]
-            br = br + half * (sl(ur, -j) + sl(ur, j))
-            bi = bi + half * (sl(ui, -j) + sl(ui, j))
-            tr = tr + half * (sl(vr, -j) + sl(vr, j))
-            ti = ti + half * (sl(vi, -j) + sl(vi, j))
-            g = np.pi * j * coeffs[j] / n  # D += i*g*(U[k-j] - U[k+j])
-            dr = dr - g * (sl(ui, -j) - sl(ui, j))
-            di = di + g * (sl(ur, -j) - sl(ur, j))
+            jz = z * j
+            br = br + half * (sl(ur, -jz) + sl(ur, jz))
+            bi = bi + half * (sl(ui, -jz) + sl(ui, jz))
+            tr = tr + half * (sl(vr, -jz) + sl(vr, jz))
+            ti = ti + half * (sl(vi, -jz) + sl(vi, jz))
+            g = np.pi * j * coeffs[j] / n  # D += i*g*(U[k-jz] - U[k+jz])
+            dr = dr - g * (sl(ui, -jz) - sl(ui, jz))
+            di = di + g * (sl(ur, -jz) - sl(ur, jz))
 
         pow_raw = br * br + bi * bi
         inv_pow = 1.0 / jnp.maximum(pow_raw, 1e-38)
@@ -413,9 +439,10 @@ class SlidingReassigned:
 
         w = window_coefficients(self.window, n)
         consts = {
-            "norm": jnp.asarray(fft_bin_normalization(w, n)),
+            "norm": jnp.asarray(fft_bin_normalization(w, self.pfft)),
             "freq_base": jnp.asarray(
-                np.arange(self.bins, dtype=np.float32) * (self.sample_rate / n)
+                np.arange(self.bins, dtype=np.float32)
+                * (self.sample_rate / self.pfft)
             ),
             "inv_2pi": self.sample_rate / (2.0 * np.pi),
             "inv_hop": 1.0 / self.hop,
@@ -435,9 +462,10 @@ class SlidingReassigned:
 
         from openmeters_tpu.ops.pallas_sliding import _interpret, pallas_enabled
 
-        use_fused = (pallas_enabled() or _interpret()) and os.environ.get(
-            "OPENMETERS_PALLAS_REASSIGNED", "1"
-        ) != "0"
+        use_fused = (
+            (pallas_enabled() or _interpret())
+            and os.environ.get("OPENMETERS_PALLAS_REASSIGNED", "1") != "0"
+        )
 
         if use_fused:
             from openmeters_tpu.ops.pallas_sliding_reassigned import (
@@ -505,7 +533,7 @@ class SlidingReassigned:
                 rot_r[None], rot_i[None],
                 (0.25 * consts["norm"])[None], consts["freq_base"][None],
                 cols=fb.cols_cap, hop=hop, bins=self.bins, n=n_,
-                coeffs=self._stencil_coeffs(),
+                zpf=self.zpf, coeffs=self._stencil_coeffs(),
                 inv_2pi=float(consts["inv_2pi"]),
                 inv_hop=float(consts["inv_hop"]),
                 latency_hops=float(consts["latency_hops"]),

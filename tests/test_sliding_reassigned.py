@@ -266,14 +266,129 @@ def test_unsupported_configs_fall_back():
     assert not SpectrogramAnalyzer(
         SpectrogramConfig(fft_size=2048, hop_size=512, use_reassignment=True)
     ).use_sliding_reassigned
-    # zero padding -> per-column path
-    assert not SpectrogramAnalyzer(
+    # zero padding x2 now RIDES the sliding path (r5: padded-stencil slide)
+    assert SpectrogramAnalyzer(
         SpectrogramConfig(
             fft_size=2048, hop_size=64, use_reassignment=True,
             zero_padding_factor=2,
+        )
+    ).use_sliding_reassigned
+    # zero padding x4 falls back (kernel/stencil support is zpf <= 2)
+    assert not SpectrogramAnalyzer(
+        SpectrogramConfig(
+            fft_size=2048, hop_size=64, use_reassignment=True,
+            zero_padding_factor=4,
         )
     ).use_sliding_reassigned
     # tiny fft -> per-column path
     assert not SpectrogramAnalyzer(
         SpectrogramConfig(fft_size=256, hop_size=32, use_reassignment=True)
     ).use_sliding_reassigned
+
+
+def test_zero_padding_2_physics_on_sliding_path():
+    """zpf=2 rides the sliding path (reference stock setting,
+    processor.rs:45-56): reference physics bars hold on padded transforms —
+    frequency <2 Hz, time == Hilbert latency, power conserved within 1%."""
+    ana = stock(zero_padding_factor=2)
+    cfg = ana.config
+    assert ana._sliding_reassigned.zpf == 2  # noqa: SLF001
+    latency = cfg.fft_size // 2
+    expected_time = -latency / cfg.hop_size
+
+    for bin_f in [10.25, 200.75, 800.4]:
+        freq = bin_f * cfg.sample_rate / cfg.fft_size
+        cols = run(ana, sine_wave(freq, cfg.sample_rate, 8192))
+        col = cols[-1]
+        pv = col["point_valid"][0]
+        powers = np.where(pv, col["power"][0], 0.0)
+        peak = int(np.argmax(powers))
+        assert pv[peak]
+        assert abs(col["freq_hz"][0][peak] - freq) < 2.0, (
+            bin_f, col["freq_hz"][0][peak],
+        )
+        assert abs(col["time_offset"][0][peak] - expected_time) < 0.05
+        total_power = float(np.sum(powers)) * ana.power_scale
+        assert abs(total_power - 1.0) < 0.01, (bin_f, total_power)
+
+
+def test_zero_padding_2_matches_per_column_path():
+    """Column-for-column parity of the padded sliding path against the
+    per-column Hilbert+padded-FFT fallback at the peak neighborhood."""
+    freq = 430.7
+    sig = sine_wave(freq, 48_000.0, 16_384, 0.4)
+
+    cols_slide = run(stock(zero_padding_factor=2), sig)
+
+    os.environ["OPENMETERS_SLIDING_REASSIGNED"] = "0"
+    try:
+        ana_exact = SpectrogramAnalyzer(
+            SpectrogramConfig(
+                fft_size=2048, hop_size=64, use_reassignment=True,
+                zero_padding_factor=2,
+            )
+        )
+        assert not ana_exact.use_sliding_reassigned
+        cols_exact = run(ana_exact, sig)
+    finally:
+        del os.environ["OPENMETERS_SLIDING_REASSIGNED"]
+
+    a, b = cols_slide[-1], cols_exact[-1]
+    k = int(np.argmax(np.where(b["point_valid"][0], b["power"][0], 0.0)))
+    for kk in (k - 1, k, k + 1):
+        assert abs(a["freq_hz"][0][kk] - b["freq_hz"][0][kk]) < 0.01
+        assert abs(a["time_offset"][0][kk] - b["time_offset"][0][kk]) < 1e-3
+        ratio = a["power"][0][kk] / b["power"][0][kk]
+        assert abs(ratio - 1.0) < 1e-3
+
+
+@pytest.mark.slow
+def test_fused_hop_kernel_matches_xla_slide_zpf2():
+    """The bin-tiled fused hop kernel at zero_padding_factor=2 (interpret
+    mode) against the XLA slide — padded stencil offsets, hermitian edges
+    and the padded delta/rotation bases all ride through the kernel."""
+    import jax
+
+    sig = (
+        sine_wave(430.7, 48_000.0, 8192, 0.4)
+        + sine_wave(2111.0, 48_000.0, 8192, 0.2)
+    ).astype(np.float32)
+
+    def run_env(env):
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update({k: v for k, v in env.items() if v})
+        for k, v in env.items():
+            if not v:
+                os.environ.pop(k, None)
+        jax.clear_caches()
+        try:
+            ana = SpectrogramAnalyzer(
+                SpectrogramConfig(
+                    fft_size=512, hop_size=64, use_reassignment=True,
+                    zero_padding_factor=2, block_frames=256,
+                )
+            )
+            assert ana.use_sliding_reassigned
+            return run(ana, sig)
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+            jax.clear_caches()
+
+    fused = run_env({"OPENMETERS_PALLAS_INTERPRET": "1", "OPENMETERS_NO_PALLAS": ""})
+    ref = run_env({"OPENMETERS_PALLAS_INTERPRET": "", "OPENMETERS_NO_PALLAS": "1"})
+    assert len(fused) == len(ref) and len(fused) > 4
+    a, b = fused[-1], ref[-1]
+    pk = np.where(b["point_valid"][0], b["power"][0], 0.0)
+    # within 50 dB of the column peak: the kernel's bf16x3 decomposition
+    # leaves ~1e-2 hop error only on bins ~60 dB down (the display culls
+    # them); the reference's 1e-4-hop physics bar applies at the peak
+    sig_bins = pk > pk.max() * 1e-5
+    assert sig_bins.sum() > 4
+    assert np.abs(a["freq_hz"][0] - b["freq_hz"][0])[sig_bins].max() < 0.5
+    assert np.abs(a["time_offset"][0] - b["time_offset"][0])[sig_bins].max() < 0.01
+    rel = np.abs(a["power"][0] - b["power"][0]) / np.maximum(b["power"][0], 1e-12)
+    assert rel[sig_bins].max() < 5e-3
