@@ -78,6 +78,24 @@ def measure(engine, n_streams: int, iters: int = 20) -> dict:
                 probe += jnp.sum(leaf.astype(jnp.int32)).astype(jnp.float32)
         return probe
 
+    osc_ext = (
+        "oscilloscope" in engine.analyzers
+        and engine.analyzers["oscilloscope"].external_capture
+    )
+
+    def consume_capture(c, i):
+        """Display-cadence oscilloscope capture extraction (the engine runs
+        external-capture mode; the reference UI reads traces at ~60 Hz =
+        every 3 hops).  Scalar cond output: the identity branch copies one
+        float, not the trace arrays."""
+        if not osc_ext:
+            return jnp.float32(0)
+        return jax.lax.cond(
+            i % 3 == 0,
+            lambda: consume(engine.extract_oscilloscope(c)),
+            lambda: jnp.float32(0),
+        )
+
     r = engine.spectrum_cadence
     if r > 1:
         # cadenced spectrum: TWO sibling scans — the fast analyzers per
@@ -93,7 +111,7 @@ def measure(engine, n_streams: int, iters: int = 20) -> dict:
         def run_k(carry, blocks_in):
             def body(c, i):
                 c, snaps = engine.step(c, blocks_in[i], meta, reset)
-                return c, consume(snaps)
+                return c, consume(snaps) + consume_capture(c, i)
 
             idx = jnp.arange(iters, dtype=jnp.int32) % n_blocks
             carry, probes = jax.lax.scan(body, carry, idx)
@@ -117,7 +135,7 @@ def measure(engine, n_streams: int, iters: int = 20) -> dict:
         def run_k(carry, blocks_in):
             def body(c, i):
                 c, snaps = engine.step(c, blocks_in[i], meta, reset)
-                return c, consume(snaps)
+                return c, consume(snaps) + consume_capture(c, i)
 
             idx = jnp.arange(iters, dtype=jnp.int32) % n_blocks
             return jax.lax.scan(body, carry, idx)

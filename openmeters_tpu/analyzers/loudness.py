@@ -193,7 +193,13 @@ class LoudnessAnalyzer:
             s * c <= 4096 and not snapshot_flag("OPENMETERS_SEQ_KW")
         )
         if use_lifted:
-            filtered, kw_state = lifted_iir_scan(x, kw_state, self._kw_coeffs)
+            # lift == the whole block: one [B, B] lower-triangular affine
+            # map per hop, no scan at all (the [*, 4, B, lanes] per-block
+            # scan intermediates measured ~0.14 ms/hop of layout copies at
+            # lift=32)
+            filtered, kw_state = lifted_iir_scan(
+                x, kw_state, self._kw_coeffs, lift=b
+            )
         else:
             seq_state = jnp.stack(
                 [kw_state[0:2], kw_state[2:4]]

@@ -233,10 +233,21 @@ class OscilloscopeAnalyzer:
         return max(int(self.config.snapshot_every), 1)
 
     @property
+    def external_capture(self) -> bool:
+        """``snapshot_every == 0``: the hop step maintains capture METADATA
+        only (position/span/validity, aged per hop exactly like the
+        reference's Capture) and the trace-window READ happens in
+        :meth:`extract`, called by the consumer at its display cadence
+        (frame_clock.rs:102-118).  Removes the per-hop extraction cond and
+        the held-snapshot carry from the hop step entirely — the serving
+        engine runs this mode."""
+        return int(self.config.snapshot_every) == 0
+
+    @property
     def holds_snap(self) -> bool:
         """Whether the carry holds the last extracted snapshot (any cadence
         coarser than the hop — trigger or extraction)."""
-        return (
+        return not self.external_capture and (
             max(int(self.config.trigger_every), 1) > 1 or self.snap_cadence > 1
         )
 
@@ -335,6 +346,13 @@ class OscilloscopeAnalyzer:
             carry["pspec_re"] = jnp.zeros((lanes, bins), jnp.float32)
             carry["pspec_im"] = jnp.zeros((lanes, bins), jnp.float32)
             carry["panchored"] = jnp.zeros((), bool)
+        if self.external_capture:
+            carry["cap"] = {
+                "valid": jnp.zeros((s, self.n_trig), bool),
+                "span": jnp.zeros((s, self.n_trig), jnp.float32),
+                "start": jnp.zeros((s, self.n_trig), jnp.int32),
+                "frac": jnp.zeros((s, self.n_trig), jnp.float32),
+            }
         if self.holds_snap:
             carry["snap"] = {
                 "samples": jnp.zeros((s, TRACE_COUNT, self.window_cap), jnp.float32),
@@ -384,6 +402,13 @@ class OscilloscopeAnalyzer:
             specs["pspec_re"] = P(axis, None)
             specs["pspec_im"] = P(axis, None)
             specs["panchored"] = P()
+        if self.external_capture:
+            specs["cap"] = {
+                "valid": P(axis, None),
+                "span": P(axis, None),
+                "start": P(axis, None),
+                "frac": P(axis, None),
+            }
         if self.holds_snap:
             specs["snap"] = {
                 "samples": P(axis, None, None),
@@ -393,6 +418,108 @@ class OscilloscopeAnalyzer:
                 "frac": P(axis, None),
             }
         return specs
+
+    # -- external capture (display-rate extraction) ---------------------------
+
+    def _per_trace_meta(self, cap2: dict, s: int) -> dict:
+        """Map per-lane capture metadata [S, n_trig] to per-trace [S, 2]
+        snapshot fields (linked trigger shares one capture,
+        processor.rs:684-700)."""
+        lane_slots = self.trigger_lane_slots
+
+        def trace_cap(key, t):
+            if self.independent_triggers:
+                return cap2[key][:, lane_slots.index(t)]
+            return cap2[key][:, 0]
+
+        zeros = {
+            "valid": jnp.zeros((s,), bool),
+            "span": jnp.zeros((s,), jnp.float32),
+            "start": jnp.zeros((s,), jnp.int32),
+            "frac": jnp.zeros((s,), jnp.float32),
+        }
+        out = {}
+        for field, key in (
+            ("trace_valid", "valid"), ("span", "span"),
+            ("start", "start"), ("frac", "frac"),
+        ):
+            out[field] = jnp.stack(
+                [
+                    trace_cap(key, t) if self.active_traces[t] else zeros[key]
+                    for t in range(TRACE_COUNT)
+                ],
+                axis=1,
+            )
+        return out
+
+    def _lock_fields(self, state: dict, s: int):
+        """Per-trace (locked, period) from the trigger lane state."""
+        if self.config.trigger_mode is not TriggerMode.STABLE:
+            return (
+                jnp.zeros((s, TRACE_COUNT), bool),
+                jnp.zeros((s, TRACE_COUNT), jnp.float32),
+            )
+        n_trig = self.n_trig
+        lane_slots = self.trigger_lane_slots
+        lock2 = state["has_period"].reshape(s, n_trig)
+        per2 = state["period"].reshape(s, n_trig)
+        locked_t, period_t = [], []
+        for t in range(TRACE_COUNT):
+            if not self.active_traces[t]:
+                locked_t.append(jnp.zeros((s,), bool))
+                period_t.append(jnp.zeros((s,), jnp.float32))
+            else:
+                i = lane_slots.index(t) if self.independent_triggers else 0
+                locked_t.append(lock2[:, i])
+                period_t.append(per2[:, i])
+        return jnp.stack(locked_t, axis=1), jnp.stack(period_t, axis=1)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def extract(self, carry: dict) -> OscilloscopeSnapshot:
+        """Display-rate capture extraction (external_capture mode): read the
+        [S, 2, window_cap] trace windows anchored by the carry's capture
+        metadata — one batched row-window read per active trace.  Call at
+        the consumer's frame cadence (the reference UI samples captures at
+        ~60 Hz, frame_clock.rs:102-118); the hop step never touches bulk
+        trace data in this mode."""
+        assert self.external_capture
+        from openmeters_tpu.ops.pallas_rows import window_rows
+
+        cap2 = carry["cap"]
+        s = carry["fresh"].shape[0]
+        # logical index 0 of the right-aligned history window lives at
+        # physical shift in the mirrored ring (carry["origin"] is the NEXT
+        # write slot, i.e. one past the newest sample)
+        shift = (carry["origin"] - self.history_frames) % self.ring_cap
+        lane_slots = self.trigger_lane_slots
+
+        def trace_cap(key, t):
+            if self.independent_triggers:
+                return cap2[key][:, lane_slots.index(t)]
+            return cap2[key][:, 0]
+
+        samples = []
+        for t in range(TRACE_COUNT):
+            if not self.active_traces[t]:
+                samples.append(jnp.zeros((s, self.window_cap), jnp.float32))
+            else:
+                samples.append(
+                    window_rows(
+                        carry["hist"][t], trace_cap("start", t) + shift,
+                        self.window_cap,
+                    )
+                )
+        meta = self._per_trace_meta(cap2, s)
+        locked, period = self._lock_fields(carry, s)
+        return OscilloscopeSnapshot(
+            samples=jnp.stack(samples, axis=1),
+            trace_valid=meta["trace_valid"],
+            span=meta["span"],
+            start=meta["start"],
+            frac=meta["frac"],
+            period=jnp.where(locked, period, 0.0),
+            locked=locked,
+        )
 
     # -- NSDF period estimation (processor.rs:93-181) -------------------------
 
@@ -615,7 +742,11 @@ class OscilloscopeAnalyzer:
             can_locate & (ref_empty | jump), p, ref_period
         )
 
-        use_reference = jnp.any(jnp.abs(reference) > 1.0e-3, axis=-1)
+        # the template was only zeroed via `jump` since the ref_empty scan:
+        # derive liveness instead of re-scanning the [lanes, kcap] store
+        # (the second any(|ref|>1e-3) reduction measured ~0.09 ms/hop at
+        # S=1024)
+        use_reference = ~ref_empty & ~jump
 
         kidx = np.arange(kcap)
         off = (kcap - klen) // 2  # [S] centered-store offset
@@ -872,6 +1003,13 @@ class OscilloscopeAnalyzer:
                 state[k] = jnp.where(
                     rml[:, None] if state[k].ndim == 2 else rml, z, state[k]
                 )
+            if self.external_capture:
+                # a capture anchored before the reset must not survive it
+                carry = dict(carry)
+                carry["cap"] = {
+                    k: jnp.where(rm[:, None], jnp.zeros_like(v), v)
+                    for k, v in carry["cap"].items()
+                }
             if self.holds_snap:
                 # a held capture from before the reset must not survive it
                 carry = dict(carry)
@@ -1063,7 +1201,25 @@ class OscilloscopeAnalyzer:
             held["start"] = held["start"] - jnp.int32(b)
             return held
 
-        if every == 1:
+        if self.external_capture:
+            # external capture: trigger state + capture METADATA update per
+            # cadence; the [S, 2, window_cap] trace read happens in
+            # :meth:`extract` at the consumer's display cadence — no cond,
+            # no held-snapshot carry, nothing bulk in the hop step
+            if every == 1:
+                new_state, cap2 = run_trigger_state(state)
+            else:
+                def age_cap(st):
+                    aged = dict(carry["cap"])
+                    aged["start"] = aged["start"] - jnp.int32(b)
+                    return st, aged
+
+                new_state, cap2 = jax.lax.cond(
+                    tick % every == 0, run_trigger_state, age_cap, state
+                )
+            snap = self._per_trace_meta(cap2, s)
+            snap["samples"] = jnp.zeros((s, TRACE_COUNT, 0), jnp.float32)
+        elif every == 1:
             new_state, cap2 = run_trigger_state(state)
             if snap_every == 1:
                 snap = extract_snap(cap2)
@@ -1088,23 +1244,7 @@ class OscilloscopeAnalyzer:
                 state,
             )
 
-        if cfg.trigger_mode is TriggerMode.STABLE:
-            lock2 = new_state["has_period"].reshape(s, n_trig)
-            per2 = new_state["period"].reshape(s, n_trig)
-            locked_t, period_t = [], []
-            for t in range(TRACE_COUNT):
-                if not self.active_traces[t]:
-                    locked_t.append(jnp.zeros((s,), bool))
-                    period_t.append(jnp.zeros((s,), jnp.float32))
-                else:
-                    i = lane_slots.index(t) if self.independent_triggers else 0
-                    locked_t.append(lock2[:, i])
-                    period_t.append(per2[:, i])
-            locked = jnp.stack(locked_t, axis=1)
-            period = jnp.stack(period_t, axis=1)
-        else:
-            locked = jnp.zeros((s, TRACE_COUNT), bool)
-            period = jnp.zeros((s, TRACE_COUNT), jnp.float32)
+        locked, period = self._lock_fields(new_state, s)
 
         new_carry = {
             "hist": hist,
@@ -1114,6 +1254,8 @@ class OscilloscopeAnalyzer:
             **new_pspec,
             **new_state,
         }
+        if self.external_capture:
+            new_carry["cap"] = cap2
         if self.holds_snap:
             new_carry["snap"] = snap
         return new_carry, OscilloscopeSnapshot(

@@ -44,6 +44,10 @@ class AnalysisSession:
     def feed(self, block: np.ndarray, reset_mask=None) -> dict:
         """One hop of ``[n_streams, block_frames, channels]`` audio."""
         self.carry, snaps = self.engine.step(self.carry, block, self.meta, reset_mask)
+        if "oscilloscope" in snaps:
+            # the engine's oscilloscope runs external-capture mode; offline
+            # analysis extracts the trace windows per hop for its consumers
+            snaps["oscilloscope"] = self.engine.extract_oscilloscope(self.carry)
         r = self.engine.spectrum_cadence
         if r > 1:
             self._pending_blocks.append(np.asarray(block))

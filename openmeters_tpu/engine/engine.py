@@ -185,7 +185,16 @@ class MeterEngine:
         if cfg.oscilloscope:
             from openmeters_tpu.analyzers.oscilloscope import OscilloscopeAnalyzer
 
-            out["oscilloscope"] = OscilloscopeAnalyzer(cfg.oscilloscope)
+            oc = cfg.oscilloscope
+            if getattr(oc, "snapshot_every", 0) != 0:
+                # the engine runs the oscilloscope in EXTERNAL-capture mode:
+                # the hop step maintains capture metadata only and consumers
+                # read trace windows at their display cadence via
+                # extract_oscilloscope (the reference UI samples captures at
+                # the frame clock, frame_clock.rs:102-118) — no per-hop
+                # extraction cond or held-snapshot carry
+                oc = dataclasses.replace(oc, snapshot_every=0)
+            out["oscilloscope"] = OscilloscopeAnalyzer(oc)
         if cfg.stereometer:
             from openmeters_tpu.analyzers.stereometer import StereometerAnalyzer
 
@@ -321,6 +330,11 @@ class MeterEngine:
                 return carry, (fast_snaps, sp_snap)
             fast_snaps["spectrum"] = sp_snap
         return carry, fast_snaps
+
+    def extract_oscilloscope(self, carry: dict):
+        """Display-rate oscilloscope capture extraction from the live carry
+        (the engine's oscilloscope runs in external-capture mode)."""
+        return self.analyzers["oscilloscope"].extract(carry["oscilloscope"])
 
     # -- reconfiguration -----------------------------------------------------
 

@@ -666,6 +666,21 @@ class MeterServer:
         self.last_snapshot = np.asarray(self._pack_leaves(picked))
         return self.last_meters()
 
+    def fetch_osc_traces(self, as_numpy: bool = True):
+        """Display-rate oscilloscope trace fetch: extract the capture
+        windows from the live carry (the engine's oscilloscope runs
+        external-capture mode — the hop step never reads bulk trace data;
+        this is the frame-clock read, frame_clock.rs:102-118).  Returns an
+        OscilloscopeSnapshot or None when the oscilloscope is disabled."""
+        if "oscilloscope" not in self.engine.analyzers:
+            return None
+        snap = self.engine.extract_oscilloscope(self.carry)
+        if as_numpy:
+            import jax
+
+            return jax.tree.map(np.asarray, snap)
+        return snap
+
     def last_meters(self) -> dict[str, np.ndarray] | None:
         """The most recently drained fetch, unpacked into named per-leaf
         arrays (key = snapshot pytree path, e.g.

@@ -42,7 +42,11 @@ def test_full_engine_all_analyzers():
     assert set(snaps) == {
         "loudness", "spectrogram", "spectrum", "oscilloscope", "stereometer", "waveform",
     }
-    assert np.isfinite(np.asarray(snaps["oscilloscope"].samples)).all()
+    # the engine's oscilloscope runs external-capture mode: traces come
+    # from the display-rate extraction, not the hop snapshot
+    osc = eng.extract_oscilloscope(carry)
+    assert osc.samples.shape[-1] > 0
+    assert np.isfinite(np.asarray(osc.samples)).all()
     assert np.isfinite(np.asarray(snaps["stereometer"].correlations)).all()
     assert np.isfinite(np.asarray(snaps["waveform"].col_min)).all()
 

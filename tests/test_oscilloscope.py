@@ -393,3 +393,67 @@ def test_continuous_glide_keeps_lock_and_tracks():
     # bounded re-lock: a template drop costs at most ~2 hops
     assert max_run <= 2, max_run
     assert tracked / n > 0.9, (tracked, n)
+
+
+def test_external_capture_matches_in_step_extraction():
+    """snapshot_every=0 (the serving engine's mode): the hop step maintains
+    capture metadata only; extract() at any later point returns exactly the
+    snapshot the in-step per-hop extraction (snapshot_every=1) would have
+    produced for the same audio."""
+    import dataclasses
+
+    import jax
+
+    base = OscilloscopeConfig(trigger_every=1, snapshot_every=1)
+    ana_in = OscilloscopeAnalyzer(base)
+    ana_ext = OscilloscopeAnalyzer(dataclasses.replace(base, snapshot_every=0))
+    assert ana_ext.external_capture and not ana_in.external_capture
+
+    rate, b = 48_000.0, 256
+    t = np.arange(40 * b) / rate
+    sig = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    stereo = np.stack([sig, sig], -1)
+
+    c_in, c_ext = ana_in.init(2), ana_ext.init(2)
+    step_in, step_ext = jax.jit(ana_in.step), jax.jit(ana_ext.step)
+    for i in range(40):
+        blk = np.tile(stereo[None, i * b : (i + 1) * b], (2, 1, 1))
+        c_in, s_in = step_in(c_in, blk)
+        c_ext, s_ext = step_ext(c_ext, blk)
+        # per-hop metadata identical; external emits no bulk samples
+        assert s_ext.samples.shape == (2, 2, 0)
+        np.testing.assert_array_equal(np.asarray(s_in.start), np.asarray(s_ext.start))
+        np.testing.assert_array_equal(np.asarray(s_in.locked), np.asarray(s_ext.locked))
+    snap = ana_ext.extract(c_ext)
+    np.testing.assert_array_equal(np.asarray(snap.samples), np.asarray(s_in.samples))
+    for f in ("trace_valid", "span", "start", "frac", "period", "locked"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(snap, f)), np.asarray(getattr(s_in, f)), err_msg=f
+        )
+    assert bool(np.asarray(snap.locked).any())
+
+
+def test_external_capture_trigger_cadence_ages_start():
+    """trigger_every>1 in external mode: held capture metadata ages its
+    start by one block per hop (the window slides), matching the in-step
+    held-snapshot path."""
+    import dataclasses
+
+    import jax
+
+    cfg = OscilloscopeConfig(trigger_every=3, snapshot_every=0)
+    ana = OscilloscopeAnalyzer(cfg)
+    rate, b = 48_000.0, 256
+    t = np.arange(24 * b) / rate
+    sig = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    stereo = np.stack([sig, sig], -1)
+    carry = ana.init(1)
+    step = jax.jit(ana.step)
+    starts = []
+    for i in range(24):
+        carry, snap = step(carry, stereo[None, i * b : (i + 1) * b])
+        starts.append(int(np.asarray(snap.start)[0, 0]))
+    # between trigger evaluations the start decreases by exactly b per hop
+    for i in range(13, 24):
+        if i % 3 != 0:
+            assert starts[i] == starts[i - 1] - b, (i, starts[i - 1], starts[i])

@@ -104,6 +104,21 @@ def main():
             probe += jnp.sum(leaf.astype(jnp.float32))
         return probe
 
+    osc_ext = (
+        "oscilloscope" in engine.analyzers
+        and engine.analyzers["oscilloscope"].external_capture
+    )
+
+    def consume_capture(c, i):
+        # display-cadence capture extraction, scalar cond (see bench.py)
+        if not osc_ext:
+            return jnp.float32(0)
+        return jax.lax.cond(
+            i % 3 == 0,
+            lambda: consume(engine.extract_oscilloscope(c)),
+            lambda: jnp.float32(0),
+        )
+
     r = engine.spectrum_cadence
     if r > 1:
         # two sibling scans, matching bench.py::measure and the serving
@@ -119,7 +134,7 @@ def main():
         def run_k(carry, blocks_in):
             def body(c, i):
                 c, snaps = engine.step(c, blocks_in[i], meta, reset)
-                return c, consume(snaps)
+                return c, consume(snaps) + consume_capture(c, i)
 
             idx = jnp.arange(iters, dtype=jnp.int32) % 8
             carry, probes = jax.lax.scan(body, carry, idx)
@@ -138,7 +153,7 @@ def main():
         def run_k(carry, blocks_in):
             def body(c, i):
                 c, snaps = engine.step(c, blocks_in[i], meta, reset)
-                return c, consume(snaps)
+                return c, consume(snaps) + consume_capture(c, i)
 
             idx = jnp.arange(iters, dtype=jnp.int32) % 8
             return jax.lax.scan(body, carry, idx)
