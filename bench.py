@@ -44,13 +44,17 @@ def build_engine():
     return MeterEngine(cfg)
 
 
-def measure(engine, n_streams: int, iters: int = 20) -> dict:
+def measure(engine, n_streams: int, iters: int = 128) -> dict:
     """Sustained per-step device time via a K-step on-device scan.
 
     One dispatch runs ``iters`` chained engine steps (distinct audio blocks)
     and the result is fetched, so the measurement is pure device throughput —
     exactly what a pipelined production host achieves (per-dispatch tunnel
     latency in this dev harness is ~140 ms and irrelevant to deployment).
+    ``iters`` must amortize the per-dispatch fixed cost (~15-35 ms measured
+    on this tunnel, r5): at the old iters=20-64 that tax inflated every line
+    by 0.3-1.8 ms/step — headline S=16384 measured 5.53 ms at iters=20 vs
+    4.28 ms at 128, identical device work.
     """
     import jax
     import jax.numpy as jnp
@@ -454,11 +458,11 @@ def main():
         _report_latency_decomposition("headline", d, best_r["hop_ms"])
     # ordered by artifact importance in case a driver time budget truncates
     eng5e1 = build_config5_engine(trigger_every=1)
-    r = measure(eng5e1, 1024, iters=64)
+    r = measure(eng5e1, 1024)
     _report("config5 trigger_every=1 (per-hop trigger)", r)
     eng_r = build_reassigned_engine()
     for n in (4096, 6144, 8192):
-        r = measure(eng_r, n, iters=32)
+        r = measure(eng_r, n)
         _report("reassigned-2048/64", r)
         if not r["realtime"]:
             break
@@ -466,22 +470,22 @@ def main():
     # processor.rs:45-56) on the padded-stencil sliding kernel
     eng_z = build_reassigned_engine(zero_padding_factor=2)
     for n in (2048, 4096):
-        r = measure(eng_z, n, iters=32)
+        r = measure(eng_z, n)
         _report("reassigned-2048/64 zpf2", r)
         if not r["realtime"]:
             break
     # the literal EngineConfig() reference default (all six, reassignment ON,
     # 16384-pt spectrum, per-hop trigger)
     eng_d = build_default_engine()
-    r = measure(eng_d, 1024, iters=64)
+    r = measure(eng_d, 1024, iters=256)
     _report("default EngineConfig() (all six, reassigned, 16384-pt spectrum)", r)
     d = measure_latency_decomposition(eng_d, 1024, r["step_ms"])
     _report_latency_decomposition("default", d, r["hop_ms"])
     eng = build_full_engine()
-    r = measure(eng, 1024, iters=64)
+    r = measure(eng, 1024)
     _report("all-six", r)
     eng5 = build_config5_engine()
-    r = measure(eng5, 1024, iters=64)
+    r = measure(eng5, 1024)
     _report("config5 (osc+stereo+waveform)", r)
 
 

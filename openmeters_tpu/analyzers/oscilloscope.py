@@ -711,7 +711,6 @@ class OscilloscopeAnalyzer:
 
         ring_cap = trace.shape[1] // 2
         w_start = (shift + jnp.maximum(left - before, 0)) % ring_cap
-        work = window_rows(trace, w_start, wcap)
 
         # The search consumes the RAW window: normalized correlation is
         # exactly shift-invariant (dot - sx*st/n centers both operands), and
@@ -776,18 +775,24 @@ class OscilloscopeAnalyzer:
 
         wlen = search + klen
         wlen_f = jnp.maximum(wlen.astype(jnp.float32), 1.0)
-        if pallas_enabled() and nfft & (nfft - 1) == 0 and nfft >= 1024:
-            # fused VMEM-resident kernel: forward DFTs + conj-product +
-            # per-stream anchor + one-sided inverse, zero HBM intermediates.
-            # The sliding window sums and the region mean ride along:
-            # an in-VMEM cumsum + one-hot shift matmuls (exact f32-class)
-            # replace the XLA [2S, wcap] cumsum, its layout copies, and
-            # the per-row window reads.
-            dots_m, sx, sxx, wmean = corr_dots_sums(
-                work, template, klen, wlen, -off, nfft, scap + 1
-            )
+        use_kernel = pallas_enabled() and nfft & (nfft - 1) == 0 and nfft >= 1024
+        if use_kernel:
+            # fused VMEM-resident kernel: the work window is gathered from
+            # the mirrored ring IN-KERNEL (no [S, wcap] materialization,
+            # pad or tiled-layout copy), then forward DFTs + conj-product +
+            # per-stream anchor + one-sided inverse, zero HBM
+            # intermediates.  The sliding window sums and the region mean
+            # ride along: an in-VMEM cumsum + one-hot shift matmuls (exact
+            # f32-class) replace the XLA [2S, wcap] cumsum, its layout
+            # copies, and the per-row window reads.
+            from openmeters_tpu.ops.pallas_corr import corr_dots_sums_ring
 
+            dots_m, sx, sxx, wmean = corr_dots_sums_ring(
+                trace, w_start, template, klen, wlen, -off, nfft,
+                scap + 1, wcap=wcap,
+            )
         else:
+            work = window_rows(trace, w_start, wcap)
             stacked = jnp.concatenate(
                 [work, jnp.pad(template, ((0, 0), (0, wcap - kcap)))], axis=0
             )
@@ -872,15 +877,17 @@ class OscilloscopeAnalyzer:
         cmean_b = cmean_at(best)
 
         # candidate write + reference reset check (processor.rs:381-399,509-527)
-        # (work padded LEFT so the centered capacity read
-        # [offset - off, offset - off + kcap) never clip-shifts — off can
-        # exceed offset; klen >= 1920 bounds off <= 1440 < PADL)
-        padl = 1536
-        work_padded = jnp.pad(work, ((0, 0), (padl, 0)))
-
+        # The centered capacity read [offset - off, offset - off + kcap)
+        # may start BEFORE the work window (off can exceed offset; klen >=
+        # 1920 bounds off <= 1440) — in ring coordinates the mirrored
+        # double-write makes any modulo start contiguous, so the read comes
+        # straight off the ring (the kernel path materializes no work
+        # array at all; the XLA fallback's window is the same ring span)
         def candidate_at(offset, cmean):
             # centered extraction: store index off+u holds work[offset+u]
-            seg = window_rows(work_padded, padl - off + offset, kcap)
+            seg = window_rows(
+                trace, (w_start + offset - off) % ring_cap, kcap
+            )
             seg = jnp.where(kmask, seg, 0.0)
             # cmean = window mean over the klen samples at `offset`
             cand = jnp.where(kmask, seg - cmean[:, None], 0.0)

@@ -215,7 +215,8 @@ def _kernel(n: int, n1: int, n2: int, r_cap: int, T: int,
 
 
 def _sums_kernel(n: int, n1: int, n2: int, r_cap: int, T: int,
-                 rows_w: int, rows_t: int, precision):
+                 rows_w: int, rows_t: int, precision,
+                 wcap: int | None = None, ring_lanes: int | None = None):
     """corr_dots + EXACT sliding window sums in one fused chain.
 
     The trigger search (dots) runs the packed six-step forward/inverse at
@@ -234,11 +235,38 @@ def _sums_kernel(n: int, n1: int, n2: int, r_cap: int, T: int,
     h1 = n1 // 2
 
     def kern(*refs):
-        (w_ref, t_ref, klen_ref, wlen_ref, shift_ref,
-         m2, ta, tb, m1, g1cat, twic, twis, g2cat, dcm, alt, sgq,
-         out_d, out_sx, out_sxx, out_wm) = refs
+        if wcap is not None:
+            (starts_ref, w_ref, t_ref, klen_ref, wlen_ref, shift_ref,
+             m2, ta, tb, m1, g1cat, twic, twis, g2cat, dcm, alt, sgq,
+             out_d, out_sx, out_sxx, out_wm) = refs
+            # in-kernel gather from the mirrored history ring: per row,
+            # one 128-aligned contiguous read + a lane roll (the
+            # window_rows recipe), masked to the wcap window — replaces
+            # the XLA-side [S, wcap] work materialization, its pad, and
+            # the tiled-layout copy feeding this kernel
+            lp = rows_w * n1
+            t0 = pl.program_id(0)
+            rows_g = []
+            for r in range(T):
+                st = starts_ref[t0 * T + r]
+                coarse = jnp.minimum((st // n1) * n1, ring_lanes - lp)
+                fine = st - coarse
+                row = w_ref[r, pl.ds(pl.multiple_of(coarse, n1), lp)]
+                if _interpret():
+                    rolled = jnp.roll(row.reshape(1, lp), -fine, axis=1)
+                else:
+                    rolled = pltpu.roll(row.reshape(1, lp), -fine, 1)
+                rows_g.append(rolled)
+            w2 = jnp.concatenate(rows_g, axis=0)  # [T, lp]
+            lanei = jax.lax.broadcasted_iota(jnp.int32, (T, lp), 1)
+            w2 = jnp.where(lanei < wcap, w2, 0.0)
+            w3 = w2.reshape(T, rows_w, n1)
+        else:
+            (w_ref, t_ref, klen_ref, wlen_ref, shift_ref,
+             m2, ta, tb, m1, g1cat, twic, twis, g2cat, dcm, alt, sgq,
+             out_d, out_sx, out_sxx, out_wm) = refs
 
-        w3 = w_ref[:]  # [T, rows_w, n1] — known-zero tail rows dropped
+            w3 = w_ref[:]  # [T, rows_w, n1] — known-zero tail rows dropped
         # forward stage 1 per input (different K), then one batched rest
         b = jnp.concatenate(
             [_dot(w3, m2[:rows_w], dn_mid, precision),
@@ -436,6 +464,77 @@ def corr_dots_sums(work, tmpl, klen, wlen, shift, nfft: int, out_len: int,
             vmem_limit_bytes=100 * 2**20,
         ),
     )(w3, t3, kl, wl, sh, *[jnp.asarray(c) for c in consts])
+    dots = dots.reshape(rows, r_cap * n1)[:s, :out_len]
+    sx = sx.reshape(rows, r_cap * n1)[:s, :out_len]
+    sxx = sxx.reshape(rows, r_cap * n1)[:s, :out_len]
+    wmean = wm.reshape(rows)[:s] / jnp.maximum(wlen.astype(jnp.float32), 1.0)
+    return dots, sx, sxx, wmean
+
+
+def corr_dots_sums_ring(ring, starts, tmpl, klen, wlen, shift, nfft: int,
+                        out_len: int, wcap: int, row_tile: int = 16,
+                        precision=jax.lax.Precision.HIGHEST):
+    """:func:`corr_dots_sums` reading the work window DIRECTLY from the
+    mirrored history ring: ``work[s, j] = ring[s, starts[s] + j]`` for
+    ``j < wcap`` (zero beyond), gathered in-kernel per stream tile.  Skips
+    the [S, wcap] work materialization, its pad and the tiled-layout copy
+    (~0.3 ms/hop at S=1024 on v5e)."""
+    s, lanes = ring.shape
+    lt = tmpl.shape[1]
+    n1, n2 = _factors(nfft)
+    r_cap = -(-out_len // n1)
+    T = min(row_tile, s)
+    rows = -(-s // T) * T
+    rows_w = min(-(-wcap // (8 * n1)) * 8, n2)
+    rows_t = min(-(-lt // (8 * n1)) * 8, n2)
+    lp = rows_w * n1
+    assert lanes % n1 == 0 and lanes >= lp, (lanes, lp)
+    assert r_cap + (lt - 1) // n1 + 1 <= rows_w, (r_cap, lt, rows_w)
+
+    ring = ring.astype(jnp.float32)
+    if rows > s:
+        ring = jnp.pad(ring, ((0, rows - s), (0, 0)))
+    t3 = jnp.pad(
+        tmpl.astype(jnp.float32),
+        ((0, rows - s), (0, rows_t * n1 - lt)),
+    ).reshape(rows, rows_t, n1)
+    st = jnp.pad(
+        jnp.clip(starts.astype(jnp.int32), 0, lanes - wcap), (0, rows - s)
+    )
+    kl = jnp.pad(klen.astype(jnp.int32), (0, rows - s)).reshape(rows, 1)
+    wl = jnp.pad(wlen.astype(jnp.int32), (0, rows - s)).reshape(rows, 1)
+    sh = jnp.pad(shift.astype(jnp.int32), (0, rows - s)).reshape(rows, 1)
+
+    consts = _consts(nfft, r_cap)
+    ring_tile = pl.BlockSpec((T, lanes), lambda i, sref: (i, 0))
+    tile_t = pl.BlockSpec((T, rows_t, n1), lambda i, sref: (i, 0, 0))
+    row1 = pl.BlockSpec((T, 1), lambda i, sref: (i, 0))
+    const_spec = [
+        pl.BlockSpec(c.shape, lambda i, sref, nd=c.ndim: (0,) * nd)
+        for c in consts
+    ]
+    out_rq = pl.BlockSpec((T, r_cap, n1), lambda i, sref: (i, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rows // T,),
+        in_specs=[ring_tile, tile_t, row1, row1, row1, *const_spec],
+        out_specs=[out_rq, out_rq, out_rq,
+                   pl.BlockSpec((T, 1), lambda i, sref: (i, 0))],
+    )
+    dots, sx, sxx, wm = pl.pallas_call(
+        _sums_kernel(nfft, n1, n2, r_cap, T, rows_w, rows_t, precision,
+                     wcap=wcap, ring_lanes=lanes),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((rows, r_cap, n1), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, r_cap, n1), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, r_cap, n1), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, 1), jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+    )(st, ring, t3, kl, wl, sh, *[jnp.asarray(c) for c in consts])
     dots = dots.reshape(rows, r_cap * n1)[:s, :out_len]
     sx = sx.reshape(rows, r_cap * n1)[:s, :out_len]
     sxx = sxx.reshape(rows, r_cap * n1)[:s, :out_len]

@@ -112,3 +112,35 @@ def test_corr_dots_sums_matches_reference():
             ref_sxx = float(np.dot(wp[i, idx0] ** 2, mp[i]))
             assert abs(sx[i, o] - ref_sx) < 2e-2 + 1e-4 * abs(ref_sx)
             assert abs(sxx[i, o] - ref_sxx) < 1e-4 * max(abs(ref_sxx), 1.0)
+
+
+def test_corr_dots_sums_ring_matches_materialized():
+    """The in-kernel ring gather (corr_dots_sums_ring) equals
+    corr_dots_sums on the materialized window for every output, including
+    start positions that force the coarse-block clamp."""
+    from openmeters_tpu.ops.pallas_corr import corr_dots_sums, corr_dots_sums_ring
+
+    rng = np.random.default_rng(9)
+    s, wcap, kcap, out_len, nfft = 6, 7200, 4800, 2401, 8192
+    lanes = 19456  # the oscilloscope's mirrored ring width
+    ring = rng.standard_normal((s, lanes)).astype(np.float32)
+    starts = np.array([0, 1, 127, 5000, 9727, 12256], np.int32)[:s]
+    tmpl = rng.standard_normal((s, kcap)).astype(np.float32)
+    klen = rng.integers(1920, kcap + 1, s).astype(np.int32)
+    wlen = np.minimum(klen + 1000, wcap).astype(np.int32)
+    shift = rng.integers(-1440, 1, s).astype(np.int32)
+
+    work = np.stack([ring[i, st : st + wcap] for i, st in enumerate(starts)])
+    want = corr_dots_sums(
+        jnp.asarray(work), jnp.asarray(tmpl), jnp.asarray(klen),
+        jnp.asarray(wlen), jnp.asarray(shift), nfft, out_len,
+    )
+    got = corr_dots_sums_ring(
+        jnp.asarray(ring), jnp.asarray(starts), jnp.asarray(tmpl),
+        jnp.asarray(klen), jnp.asarray(wlen), jnp.asarray(shift), nfft,
+        out_len, wcap=wcap,
+    )
+    for a, b, name in zip(got, want, ("dots", "sx", "sxx", "wmean")):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1.0)
+        assert np.abs(a - b).max() < 1e-5 * scale, name
