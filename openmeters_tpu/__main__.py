@@ -174,6 +174,16 @@ def cmd_serve(args) -> int:
         from openmeters_tpu.tui import serve_tui_callback
 
         server.on_drain = serve_tui_callback(stream=args.tui_stream)
+    if args.watch_settings:
+        # the headless config page: edit the settings JSON while serving
+        # and the loop hot-reloads it (background compile, hop-boundary
+        # swap with field-level state retention)
+        if not args.settings:
+            print("--watch-settings requires --settings", file=sys.stderr)
+            return 2
+        from openmeters_tpu.serve import attach_settings_watcher
+
+        attach_settings_watcher(server, args.settings)
     feeder = Feeder(
         server.transport, n_threads=args.feeder_threads, frames_per_push=1024
     )
@@ -339,6 +349,10 @@ def main(argv=None) -> int:
                     help="'serve': lean classic-spectrogram throughput "
                     "config; 'default': the stock EngineConfig() (all six "
                     "analyzers, reassignment on)")
+    pv.add_argument("--watch-settings", action="store_true",
+                    help="hot-reload --settings while serving: edits to the "
+                    "file recompile in the background and swap at a hop "
+                    "boundary with state retention (single-rate mode)")
     pv.add_argument("--streams", type=int, default=256)
     pv.add_argument("--duration", type=float, default=5.0)
     pv.add_argument("--fetch", choices=["meters", "full", "none"], default="meters")

@@ -92,6 +92,135 @@ def _make_packer(mask):
     return pick, pack
 
 
+@dataclasses.dataclass
+class _Pipeline:
+    """One engine configuration's compiled, warmed dispatch set.
+
+    Built WITHOUT touching the server (everything below runs on locals), so
+    a background thread can prepare a new configuration's pipeline while the
+    serving thread keeps dispatching the old one (``apply_settings_async``).
+    """
+
+    engine: MeterEngine
+    cadence: int
+    place: object
+    step: object
+    spectrum_step: object | None
+    meter_mask: list
+    pick: object
+    pack_leaves: object
+    packed_layout: list
+
+
+def _compile_pipeline(engine, config: ServeConfig, mesh, meta) -> _Pipeline:
+    """Compile + warm the dispatch functions for ``engine``: the fast step,
+    and the separate spectrum-hop dispatch when the spectrum runs at its own
+    cadence (its own DspBatcher cadence, meter.rs:15-80; scan mode folds it
+    into the scan).
+
+    Warming runs two chained steps so the second compiles against a
+    step-output carry (donated layouts) — otherwise the first real hop
+    recompiles mid-serve — and derives the meter mask / packers from the
+    warm snapshot structure.  A cold first hop would stall past the backlog
+    cap and fault every stream, which is also why ``apply_settings_async``
+    runs this whole function off-thread: the reference applies settings
+    synchronously because its ``update_config`` is cheap, but on TPU a
+    configuration swap costs a compile and must not stall the hop cadence.
+    """
+    import jax
+
+    ecfg = engine.config
+    cadence = engine.spectrum_cadence
+    if config.scan_hops > 1 and cadence > 1 and (config.scan_hops % cadence):
+        raise ValueError(
+            f"scan_hops ({config.scan_hops}) must be a multiple of the "
+            f"spectrum cadence ({cadence})"
+        )
+    spectrum_step = None
+    if mesh is not None:
+        from openmeters_tpu.engine import sharded_step
+        from openmeters_tpu.engine.sharding import (
+            sharded_scan_step,
+            sharded_spectrum_step,
+        )
+
+        if config.scan_hops > 1:
+            step, place = sharded_scan_step(
+                engine, mesh, config.scan_hops, donate_carry=True
+            )
+        else:
+            step, place = sharded_step(engine, mesh, donate_carry=True)
+            if cadence > 1:
+                spectrum_step = sharded_spectrum_step(
+                    engine, mesh, donate_carry=True
+                )
+    else:
+        place = lambda c: c  # noqa: E731
+        if config.scan_hops > 1:
+            from openmeters_tpu.engine.sharding import scan_last_snapshot_fn
+
+            step = jax.jit(scan_last_snapshot_fn(engine), donate_argnums=0)
+        else:
+            step = jax.jit(
+                lambda c, b, m, r: engine.step(c, b, m, r), donate_argnums=0
+            )
+            if cadence > 1:
+                spectrum_step = jax.jit(
+                    lambda c, blocks, m, r: engine.spectrum_step(
+                        c, blocks, m, r
+                    ),
+                    donate_argnums=0,
+                )
+
+    lead = (config.scan_hops,) if config.scan_hops > 1 else ()
+    zeros = jax.device_put(
+        np.zeros(
+            (*lead, config.n_streams, ecfg.block_frames, config.channels),
+            np.float32,
+        )
+    )
+    no_reset = jax.device_put(np.zeros((*lead, config.n_streams), bool))
+    warm_carry = place(engine.init(config.n_streams))
+    warm_carry, warm_snaps = step(warm_carry, zeros, meta, no_reset)
+    warm_carry, warm_snaps = step(warm_carry, zeros, meta, no_reset)
+    if spectrum_step is not None:
+        # warm the cadenced spectrum dispatch too (donated layouts)
+        sp_zeros = jax.device_put(
+            np.zeros(
+                (cadence, config.n_streams, ecfg.block_frames, config.channels),
+                np.float32,
+            )
+        )
+        sp_reset = jax.device_put(np.zeros((cadence, config.n_streams), bool))
+        sp_carry, sp_snap = spectrum_step(
+            warm_carry["spectrum"], sp_zeros, meta, sp_reset
+        )
+        sp_carry, sp_snap = spectrum_step(sp_carry, sp_zeros, meta, sp_reset)
+        warm_carry = dict(warm_carry, spectrum=sp_carry)
+        warm_snaps = dict(warm_snaps, spectrum=sp_snap)
+    meter_mask = _meter_leaf_mask(warm_snaps, config.n_streams)
+    picked = (
+        [True] * len(meter_mask) if config.fetch == "full" else meter_mask
+    )
+    pick, pack_leaves = _make_packer(picked)
+    # names/shapes of the packed leaves so consumers can unpack the fetched
+    # vector back into labeled meters (last_meters())
+    paths, _ = jax.tree_util.tree_flatten_with_path(warm_snaps)
+    packed_layout = [
+        (jax.tree_util.keystr(path), leaf.shape)
+        for (path, leaf), m in zip(paths, picked)
+        if m
+    ]
+    # synchronize via a value fetch: on tunneled backends block_until_ready
+    # can return before compilation finishes
+    np.asarray(pack_leaves(pick(warm_snaps)))
+    del warm_carry  # donated input is gone
+    return _Pipeline(
+        engine, cadence, place, step, spectrum_step,
+        meter_mask, pick, pack_leaves, packed_layout,
+    )
+
+
 class MeterServer:
     """Owns transport + engine + the serving loop."""
 
@@ -129,7 +258,6 @@ class MeterServer:
         self._meta_weights = np.asarray(self.meta.weights).copy()
         self._meta_dirty = False
         self._mesh = mesh
-        self._build_pipeline(mesh)
         k, s, b = config.scan_hops, config.n_streams, ecfg.block_frames
         if k > 1:
             self._buffers = [
@@ -158,145 +286,72 @@ class MeterServer:
         self._buf_i = 0
         self._view_histories: dict = {}  # declare_view retention rings
         self._view_stream = 0
-        self._warm_pipeline(fresh_carry=True)
-
-    def _build_pipeline(self, mesh) -> None:
-        """Compile the dispatch functions for the CURRENT ``self.engine``:
-        the fast step, and the separate spectrum-hop dispatch when the
-        spectrum runs at its own cadence."""
-        import jax
-
-        config = self.config
-
-        # cadenced spectrum: the spectrum hop spans R engine hops and is
-        # dispatched separately every R-th advance (its own DspBatcher
-        # cadence, meter.rs:15-80); scan mode folds it into the scan
-        self._cadence = self.engine.spectrum_cadence
-        if config.scan_hops > 1 and self._cadence > 1 and (
-            config.scan_hops % self._cadence
-        ):
-            raise ValueError(
-                f"scan_hops ({config.scan_hops}) must be a multiple of the "
-                f"spectrum cadence ({self._cadence})"
-            )
-        self._spectrum_step = None
-        if mesh is not None:
-            from openmeters_tpu.engine import sharded_step
-            from openmeters_tpu.engine.sharding import (
-                sharded_scan_step,
-                sharded_spectrum_step,
-            )
-
-            if config.scan_hops > 1:
-                self._step, self._place = sharded_scan_step(
-                    self.engine, mesh, config.scan_hops, donate_carry=True
-                )
-            else:
-                self._step, self._place = sharded_step(
-                    self.engine, mesh, donate_carry=True
-                )
-                if self._cadence > 1:
-                    self._spectrum_step = sharded_spectrum_step(
-                        self.engine, mesh, donate_carry=True
-                    )
-        else:
-            self._place = lambda c: c
-            if config.scan_hops > 1:
-                from openmeters_tpu.engine.sharding import scan_last_snapshot_fn
-
-                self._step = jax.jit(
-                    scan_last_snapshot_fn(self.engine), donate_argnums=0
-                )
-            else:
-                self._step = jax.jit(
-                    lambda c, b, m, r: self.engine.step(c, b, m, r),
-                    donate_argnums=0,
-                )
-                if self._cadence > 1:
-                    self._spectrum_step = jax.jit(
-                        lambda c, blocks, m, r: self.engine.spectrum_step(
-                            c, blocks, m, r
-                        ),
-                        donate_argnums=0,
-                    )
-    def _warm_pipeline(self, fresh_carry: bool) -> None:
-        """Compile before the clock starts: a cold first hop would stall past
-        the backlog cap and fault every stream.  Two chained steps, so the
-        second compiles against a step-output carry (donated layouts) —
-        otherwise the first real hop recompiles mid-serve.  Also derives the
-        meter mask / packers from the warm snapshot structure.  With
-        ``fresh_carry`` the live carry is re-initialized afterwards (startup);
-        without, the caller supplies the carry (apply_settings migration)."""
-        import jax
-
-        config = self.config
-        ecfg = self.engine.config
-        lead = (config.scan_hops,) if config.scan_hops > 1 else ()
-        zeros = jax.device_put(
-            np.zeros(
-                (*lead, config.n_streams, ecfg.block_frames, config.channels),
-                np.float32,
-            )
+        self._swap_thread = None  # apply_settings_async compile worker
+        self._pending_swap = None  # (engine_cfg, _Pipeline) staged for adopt
+        self._swap_error = None
+        self._adopt_pipeline(
+            _compile_pipeline(self.engine, config, mesh, self.meta),
+            self.engine.init(config.n_streams),
+            engine_cfg,
         )
-        no_reset = jax.device_put(np.zeros((*lead, config.n_streams), bool))
-        warm_carry = self._place(self.engine.init(config.n_streams))
-        warm_carry, warm_snaps = self._step(warm_carry, zeros, self.meta, no_reset)
-        warm_carry, warm_snaps = self._step(warm_carry, zeros, self.meta, no_reset)
+
+    def _adopt_pipeline(self, pipe: _Pipeline, carry, engine_cfg) -> None:
+        """Swap the live dispatch set + carry (the hop-boundary handoff).
+
+        In-flight fetches drain first — they were packed under the OLD
+        layout and must be unpacked with it.  The caller supplies the carry
+        (fresh at startup; ``migrate_carry`` output for a reconfiguration).
+        """
+        while self._inflight:
+            self._drain_one()
+        self.engine = pipe.engine
+        self.config = dataclasses.replace(self.config, engine=engine_cfg)
+        self._cadence = pipe.cadence
+        self._place = pipe.place
+        self._step = pipe.step
+        self._spectrum_step = pipe.spectrum_step
+        self._meter_mask = pipe.meter_mask
+        self._pick = pipe.pick
+        self._pack_leaves = pipe.pack_leaves
+        self._packed_layout = pipe.packed_layout
+        self.carry = self._place(carry)
+        self._dev_meters = None  # repopulated by the next advance
         if self._spectrum_step is not None:
-            # warm the cadenced spectrum dispatch too (donated layouts)
-            sp_zeros = jax.device_put(
-                np.zeros(
-                    (
-                        self._cadence, config.n_streams,
-                        ecfg.block_frames, config.channels,
-                    ),
-                    np.float32,
-                )
-            )
-            sp_reset = jax.device_put(
-                np.zeros((self._cadence, config.n_streams), bool)
-            )
-            sp_carry, sp_snap = self._spectrum_step(
-                warm_carry["spectrum"], sp_zeros, self.meta, sp_reset
-            )
-            sp_carry, sp_snap = self._spectrum_step(
-                sp_carry, sp_zeros, self.meta, sp_reset
-            )
-            warm_carry = dict(warm_carry, spectrum=sp_carry)
-            warm_snaps = dict(warm_snaps, spectrum=sp_snap)
-            self._dev_spectrum_snap = sp_snap
+            # the new spectrum cadence restarts on a hop boundary; hold a
+            # true current-state snapshot (never a warmup dispatch's
+            # zeros-input one) so fetches before the first spectrum hop
+            # report the carried averaging state.  Per-engine-hop reset
+            # rows: spectrum_step zeroes pre-reset blocks device-side so
+            # stale audio never enters the window.
             self._spec_pending: list = []
-            # per-engine-hop reset rows: spectrum_step zeroes pre-reset
-            # blocks device-side so stale audio never enters the window
-            self._spec_resets = np.zeros((self._cadence, config.n_streams), bool)
-        self._meter_mask = _meter_leaf_mask(warm_snaps, config.n_streams)
-        picked = (
-            [True] * len(self._meter_mask)
-            if config.fetch == "full"
-            else self._meter_mask
-        )
-        self._pick, self._pack_leaves = _make_packer(picked)
-        # names/shapes of the packed leaves so consumers can unpack the
-        # fetched vector back into labeled meters (last_meters())
-        paths, _ = jax.tree_util.tree_flatten_with_path(warm_snaps)
-        self._packed_layout = [
-            (jax.tree_util.keystr(path), leaf.shape)
-            for (path, leaf), m in zip(paths, picked)
-            if m
-        ]
-        # synchronize via a value fetch: on tunneled backends
-        # block_until_ready can return before compilation finishes
-        np.asarray(self._pack_leaves(self._pick(warm_snaps)))
-        del warm_carry  # donated input is gone
-        if fresh_carry:
-            self.carry = self._place(self.engine.init(config.n_streams))
-        if self._spectrum_step is not None:
-            # hold a true "no data yet" / current-state snapshot instead of
-            # the warmup dispatch's zeros-input snapshot
+            self._spec_resets = np.zeros(
+                (self._cadence, self.config.n_streams), bool
+            )
             self._dev_spectrum_snap = self.engine.analyzers["spectrum"].emit(
                 self.carry["spectrum"]
             )
+        self._revalidate_view_histories()
 
+    def _revalidate_view_histories(self) -> None:
+        """Re-fit declare_view retention rings after a reconfiguration: a
+        changed FFT geometry changes the spectrogram column width; a removed
+        analyzer orphans its ring."""
+        hist = self._view_histories.get("spectrogram")
+        if hist is None:
+            return
+        sg = self.engine.analyzers.get("spectrogram")
+        if sg is None:
+            del self._view_histories["spectrogram"]
+            return
+        bins = sg.padded_fft // 2 + 1
+        if bins != hist.bins:
+            from openmeters_tpu.analyzers.spectrogram import history_columns
+            from openmeters_tpu.views import SpectrogramHistory
+
+            self._view_histories["spectrogram"] = SpectrogramHistory(
+                bins,
+                history_columns(sg.config.use_reassignment, bins, hist.columns),
+            )
     # -- control ------------------------------------------------------------
 
     def apply_settings(self, engine_cfg: EngineConfig) -> None:
@@ -312,14 +367,94 @@ class MeterServer:
         processors).  Any partially-accumulated spectrum hop is dropped (the
         new spectrum cadence restarts on a hop boundary).
         """
+        engine_cfg, new_engine = self._validated_engine(engine_cfg)
+        pipe = _compile_pipeline(new_engine, self.config, self._mesh, self.meta)
+        # migrate the live state BEFORE swapping (field-level retention)
+        carry = new_engine.migrate_carry(
+            self.engine, self.carry, self.config.n_streams
+        )
+        self._adopt_pipeline(pipe, carry, engine_cfg)
+
+    def apply_settings_async(self, engine_cfg: EngineConfig):
+        """Reconfigure WITHOUT stalling the hop cadence.
+
+        :meth:`apply_settings` compiles synchronously — seconds on TPU,
+        enough to blow the transport's 1 s backlog cap and fault every
+        stream mid-serve.  This variant compiles + warms the new
+        configuration's pipeline on a background thread while the server
+        keeps serving the old one, then the serving loop adopts it at the
+        next hop boundary (``advance``): carry migration at the reference's
+        ``update_config`` granularity, a sub-hop handoff instead of a
+        multi-second stall.  The reference can apply settings synchronously
+        only because its ``update_config`` is allocation-cheap
+        (spectrum/processor.rs:300-326); a compiled-graph runtime needs this
+        split.
+
+        Validation errors (rate/block geometry, scan/cadence mismatch)
+        raise here synchronously; a compile failure surfaces from the next
+        ``advance()``.  Returns the compile thread — ``join()`` to block
+        until the swap is staged (tests; production just keeps serving).
+        """
+        import threading
+
+        engine_cfg, new_engine = self._validated_engine(engine_cfg)
+        if self.reconfig_pending:
+            raise RuntimeError(
+                "a reconfiguration is already in flight; wait for it to "
+                "be adopted before applying another"
+            )
+        cfg, mesh, meta = self.config, self._mesh, self.meta
+
+        def work():
+            try:
+                pipe = _compile_pipeline(new_engine, cfg, mesh, meta)
+                self._pending_swap = (engine_cfg, pipe)
+            except BaseException as exc:  # surfaced from the serving loop
+                self._swap_error = exc
+            finally:
+                self._swap_thread = None
+
+        t = threading.Thread(
+            target=work, name="openmeters-reconfig", daemon=True
+        )
+        self._swap_thread = t
+        t.start()
+        return t
+
+    @property
+    def reconfig_pending(self) -> bool:
+        """True while an async reconfiguration is compiling or staged."""
+        return self._swap_thread is not None or self._pending_swap is not None
+
+    def _maybe_adopt_pending(self) -> None:
+        """Hop-boundary handoff for :meth:`apply_settings_async`."""
+        err = self._swap_error
+        if err is not None:
+            self._swap_error = None
+            raise RuntimeError(
+                "background reconfiguration failed to compile"
+            ) from err
+        pending = self._pending_swap
+        if pending is None:
+            return
+        self._pending_swap = None
+        engine_cfg, pipe = pending
+        carry = pipe.engine.migrate_carry(
+            self.engine, self.carry, self.config.n_streams
+        )
+        self._adopt_pipeline(pipe, carry, engine_cfg)
+
+    def _validated_engine(self, engine_cfg: EngineConfig):
+        """Clamp ``channels`` to the transport's and reject geometry the
+        transport owns (``sample_rate``/``block_frames``: a rate change
+        needs a new server, exactly as the reference rebuilds per-rate
+        processors)."""
         if engine_cfg.channels != self.config.channels:
             engine_cfg = dataclasses.replace(
                 engine_cfg, channels=self.config.channels
             )
-        old_engine = self.engine
-        old_ecfg = old_engine.config
         new_engine = MeterEngine(engine_cfg)
-        ecfg = new_engine.config
+        ecfg, old_ecfg = new_engine.config, self.engine.config
         if (ecfg.sample_rate, ecfg.block_frames) != (
             old_ecfg.sample_rate, old_ecfg.block_frames
         ):
@@ -336,15 +471,7 @@ class MeterServer:
                 f"scan_hops ({self.config.scan_hops}) must be a multiple of "
                 f"the new spectrum cadence ({new_engine.spectrum_cadence})"
             )
-        # migrate the live state BEFORE swapping (field-level retention)
-        carry = new_engine.migrate_carry(
-            old_engine, self.carry, self.config.n_streams
-        )
-        self.engine = new_engine
-        self.config = dataclasses.replace(self.config, engine=engine_cfg)
-        self._build_pipeline(self._mesh)
-        self.carry = self._place(carry)
-        self._warm_pipeline(fresh_carry=False)
+        return engine_cfg, new_engine
 
     def set_paused(self, paused: bool) -> None:
         """Global pause: stop consuming (meter.rs:126-142)."""
@@ -616,6 +743,9 @@ class MeterServer:
             return
         t0, packed = self._inflight.pop(0)
         self.last_snapshot = np.asarray(packed)
+        # the layout the snapshot was packed under — survives a pipeline
+        # swap so last_meters() never unpacks old bytes with a new layout
+        self._last_layout = self._packed_layout
         self.latencies_ms.append((time.perf_counter() - t0) * 1e3)
         self._feed_histories()
         if self.on_drain is not None:
@@ -623,6 +753,7 @@ class MeterServer:
 
     def advance(self) -> None:
         """One engine advance: a hop plus backlog catch-up (coalescing)."""
+        self._maybe_adopt_pending()  # staged async reconfiguration, if any
         if self.paused:
             return
         self._advance_one()
@@ -664,6 +795,7 @@ class MeterServer:
         if picked is None:
             return None
         self.last_snapshot = np.asarray(self._pack_leaves(picked))
+        self._last_layout = self._packed_layout
         return self.last_meters()
 
     def fetch_osc_traces(self, as_numpy: bool = True):
@@ -689,7 +821,7 @@ class MeterServer:
             return None
         out = {}
         off = 0
-        for name, shape in self._packed_layout:
+        for name, shape in getattr(self, "_last_layout", self._packed_layout):
             size = int(np.prod(shape))
             out[name] = self.last_snapshot[off : off + size].reshape(shape)
             off += size
@@ -777,6 +909,35 @@ class MultiRateMeterServer:
         for s in self.servers.values():
             s.advance()
 
+    def apply_settings(self, engine_cfg: EngineConfig) -> None:
+        """Apply one settings configuration across every rate bucket — the
+        reference rebuilds processors per rate on a settings change
+        (meter.rs:20-25); each bucket keeps its own transport-owned
+        ``sample_rate``/``block_frames``."""
+        for t in self.apply_settings_async(engine_cfg):
+            t.join()
+        for s in self.servers.values():
+            s._maybe_adopt_pending()  # noqa: SLF001
+
+    def apply_settings_async(self, engine_cfg: EngineConfig) -> list:
+        """Per-bucket :meth:`MeterServer.apply_settings_async`; the buckets
+        adopt independently at their next hop boundaries.  Returns the
+        compile threads."""
+        from openmeters_tpu.engine import scaled_block_frames
+
+        threads = []
+        for r, s in self.servers.items():
+            threads.append(
+                s.apply_settings_async(
+                    dataclasses.replace(
+                        engine_cfg,
+                        sample_rate=r,
+                        block_frames=scaled_block_frames(r),
+                    )
+                )
+            )
+        return threads
+
     def run(self, duration_s: float) -> dict:
         cadence = min(
             s.engine.config.block_frames
@@ -815,6 +976,71 @@ class MultiRateMeterServer:
             self.runtime.shutdown()
         for s in self.servers.values():
             s.close()
+
+
+def attach_settings_watcher(
+    server: MeterServer, path: str, min_interval: float = 0.5
+):
+    """Hot-reload a running server from its settings file: the headless
+    analogue of the reference's config page — there the GUI edits settings
+    and ``VisualManager::apply_module_settings`` applies them live
+    (registry.rs:345); here an operator (or another process) edits the
+    persisted settings JSON and the serving loop picks the change up.
+
+    Piggybacks on the display-rate drain callback (``on_drain``, composing
+    with any existing consumer such as the TUI): at most every
+    ``min_interval`` seconds it stats the file, and on an mtime/size change
+    loads the lossy-schema settings and stages them via
+    :meth:`MeterServer.apply_settings_async` — the old configuration keeps
+    serving through the compile.  Transport-owned geometry
+    (``sample_rate``/``block_frames``) is pinned to the live server's, so a
+    rate edit in the file is ignored rather than fatal; a malformed file
+    logs and keeps the old configuration (the reference's lossy-load
+    semantics, persistence/store.rs).
+    """
+    import logging
+    import os
+
+    from openmeters_tpu.persistence import SettingsHandle
+
+    log = logging.getLogger("openmeters.serve")
+
+    def _sig():
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+
+    state = {"sig": _sig() if os.path.exists(path) else None, "next": 0.0}
+    prev = server.on_drain
+
+    def on_drain(s):
+        if prev is not None:
+            prev(s)
+        now = time.monotonic()
+        if now < state["next"] or s.reconfig_pending:
+            return
+        state["next"] = now + min_interval
+        try:
+            sig = _sig()
+        except OSError:
+            return  # mid-rename (the saver writes tmp+rename) or deleted
+        if sig == state["sig"]:
+            return
+        state["sig"] = sig
+        try:
+            cfg = SettingsHandle.load_or_default(path)
+            ecfg = s.engine.config
+            cfg = dataclasses.replace(
+                cfg,
+                sample_rate=ecfg.sample_rate,
+                block_frames=ecfg.block_frames,
+            )
+            s.apply_settings_async(cfg)
+            log.info("settings change detected (%s): recompiling", path)
+        except (ValueError, RuntimeError) as exc:
+            log.warning("settings change rejected: %s", exc)
+
+    server.on_drain = on_drain
+    return on_drain
 
 
 def ingest_benchmark(

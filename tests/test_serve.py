@@ -716,3 +716,146 @@ def test_declare_view_bounds_history_retention():
         assert int(sg.view().max()) > 0
     finally:
         server.close()
+
+
+def test_serve_apply_settings_async_swaps_at_hop_boundary():
+    """The async reconfiguration path: the old pipeline keeps serving while
+    the new one compiles on a background thread, and advance() adopts the
+    staged swap with the same field-level retention as the sync path
+    (reference registry.rs:345 applies synchronously; a compiled-graph
+    runtime must not stall the hop cadence for a recompile)."""
+    import dataclasses as dc
+
+    from openmeters_tpu.analyzers.spectrum import SpectrumConfig
+
+    engine = EngineConfig(
+        channels=2, spectrogram=None,
+        spectrum=SpectrumConfig(fft_size=1024, hop_size=1024),
+        oscilloscope=None, stereometer=None, waveform=None,
+    )
+    cfg = ServeConfig(
+        n_streams=2, channels=2, engine=engine, realtime=False,
+        fetch="full", fetch_every=1, coalesce_blocks=1,
+    )
+    server = MeterServer(cfg)
+    rate, block = 48_000.0, 256
+    t = np.arange(0, 64 * block, dtype=np.float64) / rate
+    x = (0.5 * np.sin(2.0 * np.pi * 997.0 * t)).astype(np.float32)
+    stereo = np.stack([x, x], axis=-1)
+
+    def hop(i):
+        blk = stereo[i * block : (i + 1) * block]
+        ts = int(i * block / rate * 1e9)
+        for st in range(2):
+            server.transport.push_pcm(st, blk, ts)
+        server.advance()
+        return server.fetch_meters_now()
+
+    try:
+        for i in range(16):
+            m = hop(i)
+        mom_key = next(k for k in m if "momentary" in k)
+        mom_before = float(np.asarray(m[mom_key])[0])
+        assert mom_before > -10  # window is warm
+
+        th = server.apply_settings_async(
+            dc.replace(
+                engine, spectrum=dc.replace(engine.spectrum, floor_db=-90.0)
+            )
+        )
+        assert server.reconfig_pending
+        # a second request while one is in flight is refused
+        with pytest.raises(RuntimeError, match="already in flight"):
+            server.apply_settings_async(engine)
+        # the OLD config keeps serving while the compile runs
+        i = 16
+        while server.reconfig_pending and i < 40:
+            m = hop(i)
+            i += 1
+            assert m is not None or server.reconfig_pending
+        th.join(timeout=60.0)
+        assert server._pending_swap is not None or not server.reconfig_pending
+        m = hop(i)  # this advance adopts the staged pipeline
+        assert not server.reconfig_pending
+        assert server.engine.config.spectrum.floor_db == -90.0
+        # retention across the swap: no loudness warmup dip
+        mom_after = float(np.asarray(m[mom_key])[0])
+        assert abs(mom_after - mom_before) < 0.5, (mom_before, mom_after)
+        # and the swapped pipeline serves the new floor
+        for j in range(i + 1, i + 9):
+            m = hop(j)
+        raw_key = next(k for k in m if "spectrum" in k and "raw_db" in k)
+        assert float(np.asarray(m[raw_key])[0, 0].min()) == pytest.approx(-90.0)
+    finally:
+        server.close()
+
+
+def test_serve_apply_settings_async_validation_is_synchronous():
+    import dataclasses as dc
+
+    server = MeterServer(
+        ServeConfig(n_streams=1, channels=2, engine=tiny_engine(), realtime=False)
+    )
+    try:
+        with pytest.raises(ValueError, match="sample_rate"):
+            server.apply_settings_async(
+                dc.replace(tiny_engine(), sample_rate=96_000.0, block_frames=512)
+            )
+        assert not server.reconfig_pending
+    finally:
+        server.close()
+
+
+def test_settings_watcher_hot_reloads_running_server(tmp_path):
+    """attach_settings_watcher: editing the persisted settings JSON while
+    the loop runs recompiles in the background and swaps at a hop boundary
+    (the headless config page; the GUI equivalent drives
+    apply_module_settings, registry.rs:345)."""
+    import dataclasses as dc
+
+    from openmeters_tpu.persistence import encode_settings, write_json_atomic
+    from openmeters_tpu.serve import attach_settings_watcher
+
+    path = str(tmp_path / "settings.json")
+    engine = tiny_engine()
+    write_json_atomic(path, encode_settings(engine))
+    server = MeterServer(
+        ServeConfig(
+            n_streams=1, channels=2, engine=engine, realtime=False,
+            fetch="meters", fetch_every=1, coalesce_blocks=1,
+        )
+    )
+    drains = []
+    server.on_drain = lambda s: drains.append(s.stats.hops)
+    attach_settings_watcher(server, path, min_interval=0.0)
+    rate, block = 48_000.0, 256
+    blk = np.zeros((block, 2), np.float32)
+
+    def hop(i):
+        server.transport.push_pcm(0, blk, int(i * block / rate * 1e9))
+        server.advance()
+
+    try:
+        for i in range(4):
+            hop(i)
+        assert drains, "watcher must compose with the existing drain callback"
+        # edit the settings file: disable the spectrogram, enable waveform
+        new_cfg = dc.replace(engine, spectrogram=None)
+        write_json_atomic(path, encode_settings(new_cfg))
+        deadline = time.monotonic() + 90.0
+        i = 4
+        while time.monotonic() < deadline:
+            hop(i)
+            i += 1
+            if (
+                not server.reconfig_pending
+                and "spectrogram" not in server.engine.analyzers
+            ):
+                break
+            time.sleep(0.01)
+        assert "spectrogram" not in server.engine.analyzers
+        # the loop kept serving throughout and still drains meters
+        m = server.fetch_meters_now()
+        assert m is not None and m
+    finally:
+        server.close()
