@@ -170,10 +170,26 @@ def cmd_serve(args) -> int:
 
         signal.signal(signal.SIGTERM, _on_term)
         signal.signal(signal.SIGINT, _on_term)
+    restore_term = None
     if args.tui:
         from openmeters_tpu.tui import serve_tui_callback
 
         server.on_drain = serve_tui_callback(stream=args.tui_stream)
+        if sys.stdin.isatty():
+            # keyboard shortcuts (reference message.rs:59-83): p/space
+            # toggles pause, q quits; cbreak so keys arrive unbuffered
+            import termios
+            import tty
+
+            from openmeters_tpu.tui import attach_key_controls
+
+            fd = sys.stdin.fileno()
+            saved = termios.tcgetattr(fd)
+            tty.setcbreak(fd)
+            restore_term = lambda: termios.tcsetattr(  # noqa: E731
+                fd, termios.TCSADRAIN, saved
+            )
+            attach_key_controls(server)
     if args.watch_settings:
         # the headless config page: edit the settings JSON while serving
         # and the loop hot-reloads it (background compile, hop-boundary
@@ -190,6 +206,8 @@ def cmd_serve(args) -> int:
     try:
         report = server.run(args.duration)
     finally:
+        if restore_term is not None:
+            restore_term()
         ok, failed = feeder.stop()
         if args.checkpoint:
             server.checkpoint(args.checkpoint)

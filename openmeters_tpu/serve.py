@@ -276,12 +276,16 @@ class MeterServer:
             else None
         )
         self.paused = False
+        self._stop = False
         self._resume_mask = None  # set by restore(): streams whose next
         # generation reset is the resumption itself (suppressed once)
         self.stats = EngineStats()
         self.latencies_ms: list[float] = []
         self.last_snapshot = None
         self.on_drain = None  # optional display-rate callback (fires per drained fetch)
+        self.on_tick = None  # optional per-loop-iteration callback (fires
+        # even while paused — the control-input hook: a paused server stops
+        # draining, so pause/quit keys must not ride on_drain)
         self._inflight: list[tuple[float, object]] = []
         self._buf_i = 0
         self._view_histories: dict = {}  # declare_view retention rings
@@ -476,6 +480,11 @@ class MeterServer:
     def set_paused(self, paused: bool) -> None:
         """Global pause: stop consuming (meter.rs:126-142)."""
         self.paused = paused
+
+    def stop(self) -> None:
+        """Ask a running :meth:`run` loop to return after the current hop
+        (the quit shortcut's target; safe from drain callbacks)."""
+        self._stop = True
 
     # -- checkpoint/restore ---------------------------------------------------
 
@@ -773,7 +782,8 @@ class MeterServer:
         t_start = time.perf_counter()
         deadline = t_start + advance_s
         end = t_start + duration_s
-        while time.perf_counter() < end:
+        self._stop = False
+        while time.perf_counter() < end and not self._stop:
             if self.config.realtime:
                 # wait for the window's audio to arrive, then drain it
                 now = time.perf_counter()
@@ -782,6 +792,8 @@ class MeterServer:
                 deadline += advance_s
                 if deadline < now:  # fell behind: drop missed ticks
                     deadline = now + advance_s
+            if self.on_tick is not None:
+                self.on_tick(self)
             self.advance()
         while self._inflight:
             self._drain_one()

@@ -142,3 +142,46 @@ def serve_tui_callback(stream: int = 0, width: int = 40, min_interval: float = 1
         sys.stderr.flush()
 
     return on_drain
+
+
+def attach_key_controls(server, source=None):
+    """Keyboard shortcuts for a serving loop — the reference binds
+    ctrl+space (toggle DSP pause) and close/quit at the UI layer
+    (ui/app/message.rs:59-83); the headless mapping reads single keys from
+    ``source`` (default stdin) without blocking the hop cadence:
+
+    - ``p`` or space: toggle global pause (``MeterServer.set_paused``,
+      meter.rs:126-142 — the transport keeps timing gaps so resume
+      synthesizes the missed span as silence, no stale backlog burst)
+    - ``q``: stop the running ``run()`` loop after the current hop
+
+    Rides ``on_tick`` (every loop iteration), NOT ``on_drain``: a paused
+    server stops draining, so a drain-hooked unpause key would never be
+    read again.  The CLI puts a real terminal into cbreak mode first;
+    tests feed a pipe.  Returns the composed callback.
+    """
+    import os
+    import sys
+
+    src = source if source is not None else sys.stdin
+    fd = src.fileno()
+    os.set_blocking(fd, False)
+    prev = server.on_tick
+
+    def on_tick(s) -> None:
+        if prev is not None:
+            prev(s)
+        try:
+            data = os.read(fd, 16)
+        except (BlockingIOError, OSError):
+            return
+        if not data:
+            return
+        for ch in data.decode("ascii", "ignore"):
+            if ch in (" ", "p"):
+                s.set_paused(not s.paused)
+            elif ch == "q":
+                s.stop()
+
+    server.on_tick = on_tick
+    return on_tick

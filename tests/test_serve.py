@@ -859,3 +859,41 @@ def test_settings_watcher_hot_reloads_running_server(tmp_path):
         assert m is not None and m
     finally:
         server.close()
+
+
+def test_key_controls_pause_and_quit():
+    """attach_key_controls: p toggles pause from the tick hook (which fires
+    even while paused — a drain-hooked key reader would deadlock on pause),
+    q ends run() early (reference keyboard shortcuts, message.rs:59-83)."""
+    import os
+
+    from openmeters_tpu.tui import attach_key_controls
+
+    server = MeterServer(
+        ServeConfig(
+            n_streams=1, channels=2, engine=tiny_engine(), realtime=False,
+            fetch="none",
+        )
+    )
+    r, w = os.pipe()
+    rf = os.fdopen(r, "rb", buffering=0)
+    try:
+        attach_key_controls(server, source=rf)
+        os.write(w, b"p")
+        server.run(0.2)
+        assert server.paused
+        assert server.stats.hops == 0  # paused advances consume nothing
+        os.write(w, b" ")  # space unpauses too
+        server.run(0.2)
+        assert not server.paused
+        assert server.stats.hops > 0
+        hops = server.stats.hops
+        os.write(w, b"q")
+        t0 = time.monotonic()
+        server.run(30.0)
+        assert time.monotonic() - t0 < 5.0  # q ended the loop early
+        assert server.stats.hops >= hops
+    finally:
+        rf.close()
+        os.close(w)
+        server.close()
