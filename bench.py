@@ -477,7 +477,7 @@ def main():
     # the literal EngineConfig() reference default (all six, reassignment ON,
     # 16384-pt spectrum, per-hop trigger)
     eng_d = build_default_engine()
-    r = measure(eng_d, 1024, iters=256)
+    r = measure(eng_d, 1024, iters=512)
     _report("default EngineConfig() (all six, reassigned, 16384-pt spectrum)", r)
     d = measure_latency_decomposition(eng_d, 1024, r["step_ms"])
     _report_latency_decomposition("default", d, r["hop_ms"])
