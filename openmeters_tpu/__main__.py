@@ -144,6 +144,17 @@ def cmd_serve(args) -> int:
 
         rates = tuple(float(r) for r in args.rates.split(","))
         server = MultiRateMeterServer(serve_cfg, rates, socket_path=args.socket)
+        if args.watch_settings:
+            if not args.settings:
+                print("--watch-settings requires --settings", file=sys.stderr)
+                server.close()
+                return 2
+            # per rate bucket: each watcher pins its bucket's transport-owned
+            # rate/block geometry and hot-reloads the rest
+            from openmeters_tpu.serve import attach_settings_watcher
+
+            for bucket in server.servers.values():
+                attach_settings_watcher(bucket, args.settings)
         try:
             report = server.run(args.duration)
             view = server.runtime.view() if server.runtime else {}

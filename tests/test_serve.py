@@ -897,3 +897,27 @@ def test_key_controls_pause_and_quit():
         rf.close()
         os.close(w)
         server.close()
+
+
+def test_multirate_apply_settings_per_bucket():
+    """MultiRateMeterServer.apply_settings rebuilds every rate bucket with
+    its own transport-owned rate/block geometry (the reference rebuilds
+    processors per rate on settings changes, meter.rs:20-25)."""
+    import dataclasses as dc
+
+    from openmeters_tpu.serve import MultiRateMeterServer
+
+    cfg = ServeConfig(n_streams=1, channels=2, engine=tiny_engine(), realtime=False)
+    server = MultiRateMeterServer(cfg, rates=(48_000.0, 44_100.0))
+    try:
+        blocks = {
+            r: s.engine.config.block_frames for r, s in server.servers.items()
+        }
+        server.apply_settings(dc.replace(tiny_engine(), spectrogram=None))
+        for r, s in server.servers.items():
+            assert "spectrogram" not in s.engine.analyzers
+            assert s.engine.config.sample_rate == r
+            assert s.engine.config.block_frames == blocks[r]
+            assert not s.reconfig_pending
+    finally:
+        server.close()
