@@ -187,8 +187,10 @@ def cmd_serve(args) -> int:
 
         server.on_drain = serve_tui_callback(stream=args.tui_stream)
         if sys.stdin.isatty():
-            # keyboard shortcuts (reference message.rs:59-83): p/space
-            # toggles pause, q quits; cbreak so keys arrive unbuffered
+            # keyboard shortcuts (reference message.rs:59-83 + the config
+            # page's visual toggles, ui/config.rs): p/space toggles pause,
+            # q quits, 1-6 toggle analyzers live, s/S cycles the displayed
+            # stream; cbreak so keys arrive unbuffered
             import termios
             import tty
 
@@ -200,7 +202,7 @@ def cmd_serve(args) -> int:
             restore_term = lambda: termios.tcsetattr(  # noqa: E731
                 fd, termios.TCSADRAIN, saved
             )
-            attach_key_controls(server)
+            attach_key_controls(server, view=server.on_drain.view)
     if args.watch_settings:
         # the headless config page: edit the settings JSON while serving
         # and the loop hot-reloads it (background compile, hop-boundary

@@ -334,6 +334,10 @@ class MeterServer:
             self._dev_spectrum_snap = self.engine.analyzers["spectrum"].emit(
                 self.carry["spectrum"]
             )
+        else:
+            # fused (cadence-1) or disabled spectrum: no held snapshot —
+            # fetch_spectrum re-emits from the live carry instead
+            self._dev_spectrum_snap = None
         self._revalidate_view_histories()
 
     def _revalidate_view_histories(self) -> None:
@@ -819,6 +823,26 @@ class MeterServer:
         if "oscilloscope" not in self.engine.analyzers:
             return None
         snap = self.engine.extract_oscilloscope(self.carry)
+        if as_numpy:
+            import jax
+
+            return jax.tree.map(np.asarray, snap)
+        return snap
+
+    def fetch_spectrum(self, as_numpy: bool = True):
+        """Display-rate spectrum fetch (frame_clock.rs:102-118 semantics):
+        the hop loop never ships the bulk [S, 2, bins] dB arrays to the host
+        — a display consumer reads the newest held spectrum snapshot at its
+        own clock, one transfer per call.  Cadenced spectra return the
+        snapshot held from the last spectrum hop; fused (cadence-1) spectra
+        re-emit from the live carry (``SpectrumAnalyzer.emit`` reads the
+        held dB state — no FFT work).  Returns a SpectrumSnapshot or None
+        when the spectrum analyzer is disabled."""
+        if "spectrum" not in self.engine.analyzers:
+            return None
+        snap = self._dev_spectrum_snap
+        if snap is None:
+            snap = self.engine.analyzers["spectrum"].emit(self.carry["spectrum"])
         if as_numpy:
             import jax
 

@@ -20,7 +20,16 @@ import numpy as np
 
 from openmeters_tpu.views import CorrelationTrail, PeakHold
 
-BLOCKS = " ▏▎▍▌▋▊▉█"  # 1/8th blocks
+BLOCKS = " ▏▎▍▌▋▊▉█"  # 1/8th blocks (horizontal)
+VBLOCKS = " ▁▂▃▄▅▆▇█"  # 1/8th blocks (vertical, for sparklines)
+
+# key-toggle order == EngineConfig analyzer fields; keys '1'..'6' in
+# attach_key_controls map to these (the headless config page's visual
+# toggles, ui/config.rs visual checkboxes)
+ANALYZERS = (
+    "loudness", "spectrogram", "spectrum",
+    "oscilloscope", "stereometer", "waveform",
+)
 
 
 def _bar(value: float, lo: float, hi: float, width: int) -> str:
@@ -57,6 +66,29 @@ def _marker_bar(value: float, hold: float, lo: float, hi: float, width: int) -> 
     return "".join(s)
 
 
+def _sparkline(db_bins, lo_db: float, hi_db: float, width: int,
+               sample_rate: float, f_lo: float = 20.0) -> str:
+    """Log-frequency sparkline of one trace's dB bins: ``width`` buckets
+    spaced geometrically from ``f_lo`` to Nyquist, max-reduced per bucket
+    (the spectrum view's log x-scale, spectrum/state.rs:26-120, collapsed
+    to one character of height per bucket)."""
+    db = np.asarray(db_bins, np.float32).ravel()
+    bins = db.shape[0]
+    if bins < 2:
+        return " " * width
+    nyq = sample_rate / 2.0
+    f_lo = min(max(f_lo, nyq / (bins - 1)), nyq * 0.5)
+    edges = np.geomspace(f_lo, nyq, width + 1)
+    idx = np.clip((edges / nyq * (bins - 1)).astype(int), 0, bins - 1)
+    out = []
+    for i in range(width):
+        a = idx[i]
+        b = max(idx[i + 1], a + 1)
+        t = (float(db[a:b].max()) - lo_db) / (hi_db - lo_db)
+        out.append(VBLOCKS[min(max(int(t * 8), 0), 8)])
+    return "".join(out)
+
+
 def _pick(meters: dict, part: str):
     """First packed leaf whose keystr path contains ``part`` (layout keys
     look like ``['loudness'].momentary_lufs``)."""
@@ -77,7 +109,10 @@ class TuiView:
         self._tp_hold = PeakHold.new((1,), floor_db=-60.0)
         self._trail = CorrelationTrail()
 
-    def render(self, meters: dict, now: float) -> str:
+    def render(self, meters: dict, now: float, spectrum=None) -> str:
+        """Format one frame.  ``spectrum`` is an optional SpectrumSnapshot
+        (numpy pytree from ``MeterServer.fetch_spectrum``) rendered as a
+        log-frequency sparkline pane."""
         s, w = self.stream, self.width
         lines = []
 
@@ -109,6 +144,14 @@ class TuiView:
         if per is not None and per[0] > 0:
             f0 = self.sample_rate / float(per[0])
             lines.append(f"f0 {f0:7.1f} Hz")
+        if spectrum is not None:
+            raw = np.asarray(spectrum.raw_db)
+            if s < raw.shape[0]:
+                trace = raw[s, 0]
+                lines.append(
+                    f"SP {_sparkline(trace, -100.0, 0.0, w, self.sample_rate)}"
+                    f" {float(trace.max()):6.1f} dB pk"
+                )
         return "\n".join(lines)
 
 
@@ -131,29 +174,102 @@ def serve_tui_callback(stream: int = 0, width: int = 40, min_interval: float = 1
         meters = server.last_meters()
         if not meters:
             return
-        frame = view.render(meters, now)
+        spectrum = None
+        fetch_sp = getattr(server, "fetch_spectrum", None)
+        if fetch_sp is not None:
+            spectrum = fetch_sp()  # display-clock bulk read (one transfer)
+        frame = view.render(meters, now, spectrum=spectrum)
         r = server.stats
         head = (
             f"openmeters_tpu serve — {server.config.n_streams} streams, "
+            f"stream #{view.stream}, "
             f"hop {server.engine.config.block_frames}, "
             f"{r.hops} hops, {r.resets} resets"
         )
-        sys.stderr.write("\x1b[H\x1b[2J" + head + "\n\n" + frame + "\n")
+        # the config-page analogue's toggle legend: key -> analyzer, filled
+        # dot = enabled (ui/config.rs visual checkboxes)
+        toggles = " ".join(
+            f"[{i + 1}{'●' if name in server.engine.analyzers else '○'}]{name[:5]}"
+            for i, name in enumerate(ANALYZERS)
+        )
+        if server.reconfig_pending:
+            toggles += "  (reconfiguring…)"
+        sys.stderr.write(
+            "\x1b[H\x1b[2J" + head + "\n" + toggles + "\n\n" + frame + "\n"
+        )
         sys.stderr.flush()
 
+    on_drain.view = view  # key controls steer the same view (stream cycling)
     return on_drain
 
 
-def attach_key_controls(server, source=None):
+def _default_analyzer_config(name: str):
+    """The stock EngineConfig's config object for one analyzer field —
+    used to re-enable a visual that was disabled before this process saw
+    its config (the reference's config page re-enables with the persisted
+    per-visual settings; without a stash the defaults are what it has)."""
+    import dataclasses
+
+    from openmeters_tpu.engine import EngineConfig
+
+    for f in dataclasses.fields(EngineConfig):
+        if f.name == name:
+            if f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
+                return f.default_factory()  # type: ignore[misc]
+            return f.default
+    raise KeyError(name)
+
+
+def toggle_analyzer(server, name: str, stash: dict | None = None) -> bool:
+    """Enable/disable one analyzer on a RUNNING server — the headless
+    config-page visual toggle (ui/config.rs checkboxes →
+    registry.rs set_enabled).  Disabling stashes the analyzer's current
+    config in ``stash`` so a re-enable restores its settings (the
+    reference keeps per-visual settings across toggles in persistence);
+    re-enabling without a stash entry uses the stock default.
+
+    The swap rides :meth:`MeterServer.apply_settings_async` (background
+    compile, hop-boundary adoption, field-level state retention for the
+    untouched analyzers).  Returns True when a reconfiguration was
+    launched; False when refused (unknown name, a reconfiguration already
+    in flight, or the toggle would disable the last enabled analyzer).
+    """
+    import dataclasses
+
+    if name not in ANALYZERS or server.reconfig_pending:
+        return False
+    cfg = server.engine.config
+    cur = getattr(cfg, name)
+    if cur is not None:
+        enabled = [a for a in ANALYZERS if getattr(cfg, a) is not None]
+        if len(enabled) <= 1:
+            return False  # an engine with zero analyzers cannot serve
+        if stash is not None:
+            stash[name] = cur
+        new_cfg = dataclasses.replace(cfg, **{name: None})
+    else:
+        restored = (stash or {}).get(name) or _default_analyzer_config(name)
+        new_cfg = dataclasses.replace(cfg, **{name: restored})
+    server.apply_settings_async(new_cfg)
+    return True
+
+
+def attach_key_controls(server, source=None, view=None):
     """Keyboard shortcuts for a serving loop — the reference binds
     ctrl+space (toggle DSP pause) and close/quit at the UI layer
-    (ui/app/message.rs:59-83); the headless mapping reads single keys from
-    ``source`` (default stdin) without blocking the hop cadence:
+    (ui/app/message.rs:59-83) and toggles visuals on its config page
+    (ui/config.rs); the headless mapping reads single keys from ``source``
+    (default stdin) without blocking the hop cadence:
 
     - ``p`` or space: toggle global pause (``MeterServer.set_paused``,
       meter.rs:126-142 — the transport keeps timing gaps so resume
       synthesizes the missed span as silence, no stale backlog burst)
     - ``q``: stop the running ``run()`` loop after the current hop
+    - ``1``..``6``: toggle an analyzer live (:func:`toggle_analyzer` —
+      background compile, hop-boundary swap; settings stashed across
+      toggles)
+    - ``s``/``S``: cycle the TUI's displayed stream forward/backward
+      (needs ``view``, e.g. ``serve_tui_callback(...).view``)
 
     Rides ``on_tick`` (every loop iteration), NOT ``on_drain``: a paused
     server stops draining, so a drain-hooked unpause key would never be
@@ -167,6 +283,7 @@ def attach_key_controls(server, source=None):
     fd = src.fileno()
     os.set_blocking(fd, False)
     prev = server.on_tick
+    stash: dict = {}
 
     def on_tick(s) -> None:
         if prev is not None:
@@ -182,6 +299,11 @@ def attach_key_controls(server, source=None):
                 s.set_paused(not s.paused)
             elif ch == "q":
                 s.stop()
+            elif ch in "123456":
+                toggle_analyzer(s, ANALYZERS[int(ch) - 1], stash)
+            elif ch in ("s", "S") and view is not None:
+                step = 1 if ch == "s" else -1
+                view.stream = (view.stream + step) % s.config.n_streams
 
     server.on_tick = on_tick
     return on_tick

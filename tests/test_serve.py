@@ -773,7 +773,8 @@ def test_serve_apply_settings_async_swaps_at_hop_boundary():
             m = hop(i)
             i += 1
             assert m is not None or server.reconfig_pending
-        th.join(timeout=60.0)
+        th.join(timeout=300.0)  # generous: a loaded CI box compiles slowly
+        assert not th.is_alive(), "background compile did not finish"
         assert server._pending_swap is not None or not server.reconfig_pending
         m = hop(i)  # this advance adopts the staged pipeline
         assert not server.reconfig_pending
@@ -893,6 +894,160 @@ def test_key_controls_pause_and_quit():
         server.run(30.0)
         assert time.monotonic() - t0 < 5.0  # q ended the loop early
         assert server.stats.hops >= hops
+    finally:
+        rf.close()
+        os.close(w)
+        server.close()
+
+
+def test_fetch_spectrum_display_clock():
+    """fetch_spectrum: the hop loop never ships the bulk [S, T, bins] dB
+    arrays; a display consumer reads them at its own clock
+    (frame_clock.rs:102-118 semantics).  Covers both spectrum placements:
+    fused in the hop step (cadence 1) and the held cadenced snapshot."""
+    import dataclasses as dc
+
+    from openmeters_tpu.analyzers.spectrum import SpectrumConfig
+
+    for hop in (256, 1024):  # cadence 1 (fused) and cadence 4 (held snap)
+        engine = dc.replace(
+            tiny_engine(),
+            spectrum=SpectrumConfig(fft_size=2048, hop_size=hop),
+        )
+        server = MeterServer(
+            ServeConfig(n_streams=2, channels=2, engine=engine,
+                        realtime=False, fetch="meters")
+        )
+        rate, block = 48_000.0, 256
+        t = (np.arange(block * 80) / rate)
+        tone = (0.5 * np.sin(2 * np.pi * 997.0 * t)).astype(np.float32)
+        try:
+            for i in range(80):
+                seg = tone[i * block:(i + 1) * block]
+                server.transport.push_pcm(
+                    0, np.stack([seg, seg], -1), int(i * block / rate * 1e9)
+                )
+                server.transport.push_pcm(
+                    1, np.stack([seg, seg], -1), int(i * block / rate * 1e9)
+                )
+                server.advance()
+            snap = server.fetch_spectrum()
+            assert snap is not None
+            raw = np.asarray(snap.raw_db)
+            assert raw.shape[0] == 2 and raw.shape[-1] == 2048 // 2 + 1
+            assert np.isfinite(raw).all()
+            # the 997 Hz tone peaks near bin 997/(48000/2048) ~= 42.5
+            peak = int(np.argmax(raw[0, 0]))
+            assert abs(peak - 42.5) < 2.0, (hop, peak)
+        finally:
+            server.close()
+
+    # spectrum disabled -> None (no crash)
+    server = MeterServer(
+        ServeConfig(n_streams=1, channels=2, engine=tiny_engine(),
+                    realtime=False, fetch="none")
+    )
+    try:
+        assert server.fetch_spectrum() is None
+    finally:
+        server.close()
+
+
+def test_tui_spectrum_sparkline_pane():
+    """TuiView renders a log-frequency sparkline pane from a spectrum
+    snapshot (the spectrum view's log x-scale, spectrum/state.rs:26-120)."""
+    from openmeters_tpu.analyzers.spectrum import SpectrumSnapshot
+    from openmeters_tpu.tui import TuiView
+
+    bins = 1025
+    raw = np.full((2, 1, bins), -100.0, np.float32)
+    raw[0, 0, 100] = -6.0  # one hot bin
+    snap = SpectrumSnapshot(
+        weighted_db=raw.copy(), raw_db=raw, updated=np.ones((2,), bool)
+    )
+    view = TuiView(stream=0, width=32)
+    out = view.render({}, now=0.0, spectrum=snap)
+    assert "SP " in out and "dB pk" in out
+    assert "-6.0" in out
+    # exactly one bucket rises above the floor from the single hot bin,
+    # and it sits near the top of the scale (-6 dB in [-100, 0] -> 7/8)
+    spark = [ln for ln in out.splitlines() if ln.startswith("SP ")][0]
+    raised = [c for c in spark if c in "▁▂▃▄▅▆▇█"]
+    assert raised == ["▇"], spark
+    # out-of-range stream index renders no spectrum pane instead of crashing
+    view_oob = TuiView(stream=7, width=32)
+    assert "SP " not in view_oob.render({}, now=0.0, spectrum=snap)
+
+
+def test_key_controls_toggle_analyzers():
+    """Keys 1-6 are the headless config page's visual toggles
+    (ui/config.rs -> registry.rs set_enabled): a live toggle rides
+    apply_settings_async (hop-boundary swap), the disabled analyzer's
+    settings are stashed for re-enable, and the last enabled analyzer
+    refuses to toggle off."""
+    import dataclasses as dc
+    import os
+
+    from openmeters_tpu.tui import attach_key_controls
+
+    engine = dc.replace(
+        tiny_engine(),
+        spectrogram=SpectrogramConfig(
+            fft_size=512, hop_size=128, use_reassignment=False
+        ),
+    )
+    server = MeterServer(
+        ServeConfig(n_streams=1, channels=2, engine=engine, realtime=False,
+                    fetch="meters")
+    )
+    r, w = os.pipe()
+    rf = os.fdopen(r, "rb", buffering=0)
+    rate, block = 48_000.0, 256
+    blk = np.zeros((block, 2), np.float32)
+    hop_i = [0]
+
+    def hops_until(pred, bound=600):
+        for _ in range(bound):
+            i = hop_i[0]
+            hop_i[0] += 1
+            server.transport.push_pcm(0, blk, int(i * block / rate * 1e9))
+            if server.on_tick is not None:
+                server.on_tick(server)
+            server.advance()
+            if pred():
+                return True
+            if server.reconfig_pending:
+                # the swap is a real background XLA compile — give it
+                # wall-clock time instead of racing it with empty hops
+                time.sleep(0.05)
+        return False
+
+    try:
+        attach_key_controls(server, source=rf)
+        sg_cfg = server.engine.config.spectrogram
+        assert sg_cfg.fft_size == 512
+
+        os.write(w, b"2")  # toggle spectrogram OFF
+        assert hops_until(
+            lambda: not server.reconfig_pending
+            and "spectrogram" not in server.engine.analyzers
+        )
+        # loudness is now the only analyzer: '1' must refuse (no pending)
+        os.write(w, b"1")
+        assert hops_until(lambda: True, bound=3)
+        assert not server.reconfig_pending
+        assert "loudness" in server.engine.analyzers
+
+        os.write(w, b"2")  # toggle spectrogram back ON
+        assert hops_until(
+            lambda: not server.reconfig_pending
+            and "spectrogram" in server.engine.analyzers
+        )
+        # the stash restored the non-default 512-pt settings, not the stock
+        assert server.engine.config.spectrogram.fft_size == 512
+        # the restored analyzer serves: meters drain with spectrogram leaves
+        m = server.fetch_meters_now()
+        assert m is not None and any("spectrogram" in k for k in m)
     finally:
         rf.close()
         os.close(w)
