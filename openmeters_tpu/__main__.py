@@ -213,6 +213,17 @@ def cmd_serve(args) -> int:
         from openmeters_tpu.serve import attach_settings_watcher
 
         attach_settings_watcher(server, args.settings)
+    if args.render_dir:
+        # the headless render loop: rasterize every active visual to PNGs
+        # at display rate (frame_clock.rs -> visuals/*/render.rs analogue);
+        # bulk panes (classic spectrogram / waveform / Lissajous) need
+        # --fetch full
+        from openmeters_tpu.render_live import attach_render_consumer
+
+        attach_render_consumer(
+            server, args.render_dir, stream=args.tui_stream,
+            every=args.render_every,
+        )
     feeder = Feeder(
         server.transport, n_threads=args.feeder_threads, frames_per_push=1024
     )
@@ -402,6 +413,12 @@ def main(argv=None) -> int:
                     help="live terminal meters at display rate (stderr)")
     pv.add_argument("--tui-stream", type=int, default=0,
                     help="stream index shown by --tui")
+    pv.add_argument("--render-dir",
+                    help="rasterize every active visual to PNGs in this "
+                    "directory at display rate (the headless render loop; "
+                    "bulk panes need --fetch full)")
+    pv.add_argument("--render-every", type=float, default=0.5,
+                    help="seconds between rendered frames for --render-dir")
     pv.add_argument("--ingest-only", action="store_true",
                     help="host-only ingest benchmark (no device work)")
     pv.add_argument("--checkpoint",

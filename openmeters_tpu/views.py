@@ -426,7 +426,9 @@ def waveform_columns_from_meters(meters: dict, stream: int) -> list[dict]:
 
     keys = {p: find(p) for p in ("col_valid", "col_min", "col_max",
                                  "col_color", "col_rms_db")}
-    if keys["col_valid"] is None:
+    # fetch='meters' packs the valid mask but drops the bulk column leaves —
+    # there is nothing to extract until the server runs in 'full' mode
+    if keys["col_valid"] is None or keys["col_min"] is None or keys["col_max"] is None:
         return []
     valid = np.asarray(meters[keys["col_valid"]])[stream].astype(bool)
     out = []
