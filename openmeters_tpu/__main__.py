@@ -223,6 +223,7 @@ def cmd_serve(args) -> int:
         attach_render_consumer(
             server, args.render_dir, stream=args.tui_stream,
             every=args.render_every,
+            theme=_resolve_theme(args.theme, args.themes_dir, args.settings),
         )
     feeder = Feeder(
         server.transport, n_threads=args.feeder_threads, frames_per_push=1024
@@ -318,11 +319,104 @@ def cmd_precompile(args) -> int:
 
 def cmd_settings(args) -> int:
     from openmeters_tpu.engine import EngineConfig
-    from openmeters_tpu.persistence import encode_settings, write_json_atomic
+    from openmeters_tpu.persistence import (
+        UiSettings,
+        encode_settings,
+        encode_ui,
+        write_json_atomic,
+    )
 
-    write_json_atomic(args.init, encode_settings(EngineConfig()))
+    doc = encode_settings(EngineConfig())
+    doc["ui"] = encode_ui(UiSettings())
+    write_json_atomic(args.init, doc)
     print(f"wrote default settings to {args.init}")
     return 0
+
+
+def _resolve_theme(name, themes_dir, settings_path):
+    """Pick the live theme: explicit --theme wins, else the persisted
+    ui.theme from --settings, else the builtin default."""
+    from openmeters_tpu.persistence import SettingsHandle
+    from openmeters_tpu.themes import BUILTIN_THEMES, ThemeStore
+
+    if name is None and settings_path:
+        name = SettingsHandle.load_ui_or_default(settings_path).theme
+    if name is None or name == "default":
+        return BUILTIN_THEMES["default"]
+    return ThemeStore(themes_dir).load(name)
+
+
+def cmd_themes(args) -> int:
+    """Theme store operations: the headless palette editor
+    (ui/palette_editor.rs drives the same stop edits through a GUI)."""
+    from openmeters_tpu.themes import BUILTIN_THEMES, Theme, ThemeStore
+
+    store = ThemeStore(args.dir)
+    if args.action in ("show", "set-stop", "delete") and not args.name:
+        print(f"themes {args.action} needs a theme name")
+        return 1
+    if args.action == "set-stop":
+        from openmeters_tpu.themes import VISUALS
+
+        if args.visual not in VISUALS:
+            print(f"set-stop needs a visual out of {', '.join(VISUALS)}")
+            return 1
+    if args.action == "list":
+        for name in store.list_themes():
+            mark = " (builtin)" if name in BUILTIN_THEMES else ""
+            print(f"{name}{mark}")
+        return 0
+    if args.action == "show":
+        theme = store.load(args.name)
+        doc = {
+            v: {
+                "stops": p.colors.tolist(),
+                "positions": p.positions.tolist(),
+                "spreads": p.spreads.tolist(),
+            }
+            for v, p in sorted(theme.palettes.items())
+        }
+        print(json.dumps({"name": theme.name, "palettes": doc}, indent=2))
+        return 0
+    if args.action == "delete":
+        ok = store.delete(args.name)
+        print(f"{'deleted' if ok else 'cannot delete'} {args.name}")
+        return 0 if ok else 1
+    if args.action == "create":
+        base = store.load(args.base)
+        saved = store.save(Theme(args.name or base.name, palettes=dict(base.palettes)),
+                           name=args.name)
+        print(f"saved theme {saved}")
+        return 0
+    if args.action == "set-stop":
+        import numpy as np
+
+        from openmeters_tpu.views import GradientPalette
+
+        theme = store.load(args.name)
+        palette = theme.palette(args.visual)
+        colors = np.array(palette.colors, np.float32)
+        positions = np.array(palette.positions, np.float32)
+        spreads = np.array(palette.spreads, np.float32)
+        i = args.stop
+        if not 0 <= i < len(colors):
+            print(f"stop {i} out of range (palette has {len(colors)} stops)")
+            return 1
+        if args.color:
+            rgba = [float(x) for x in args.color.split(",")]
+            if len(rgba) == 3:
+                rgba.append(1.0)
+            colors[i] = rgba
+        if args.position is not None and 0 < i < len(colors) - 1:
+            positions[i] = args.position
+        if args.spread is not None:
+            spreads[i] = args.spread
+        palettes = dict(theme.palettes)
+        palettes[args.visual] = GradientPalette.make(colors, positions, spreads)
+        saved = store.save(Theme(args.name, palettes=palettes), name=args.name)
+        print(f"saved theme {saved}")
+        return 0
+    raise AssertionError(args.action)
 
 
 def cmd_selftest(args) -> int:
@@ -419,6 +513,11 @@ def main(argv=None) -> int:
                     "bulk panes need --fetch full)")
     pv.add_argument("--render-every", type=float, default=0.5,
                     help="seconds between rendered frames for --render-dir")
+    pv.add_argument("--theme",
+                    help="theme for --render-dir (default: the persisted "
+                    "ui.theme from --settings, else builtin default)")
+    pv.add_argument("--themes-dir", default="themes",
+                    help="theme store directory (default: themes/)")
     pv.add_argument("--ingest-only", action="store_true",
                     help="host-only ingest benchmark (no device work)")
     pv.add_argument("--checkpoint",
@@ -443,6 +542,28 @@ def main(argv=None) -> int:
     ps = sub.add_parser("settings", help="settings utilities")
     ps.add_argument("--init", required=True, help="write default settings JSON")
     ps.set_defaults(fn=cmd_settings)
+
+    pth = sub.add_parser(
+        "themes",
+        help="theme store: list/show/create/edit palettes (headless "
+        "palette editor)",
+    )
+    pth.add_argument("action",
+                     choices=["list", "show", "create", "set-stop", "delete"])
+    pth.add_argument("name", nargs="?", help="theme name")
+    pth.add_argument("visual", nargs="?",
+                     help="visual whose palette to edit (set-stop)")
+    pth.add_argument("--dir", default="themes",
+                     help="theme store directory (default: themes/)")
+    pth.add_argument("--base", default="default",
+                     help="base theme for create (default: default)")
+    pth.add_argument("--stop", type=int, default=0,
+                     help="stop index for set-stop")
+    pth.add_argument("--color", help="R,G,B[,A] floats in [0,1] for set-stop")
+    pth.add_argument("--position", type=float,
+                     help="interior stop position in (0,1) for set-stop")
+    pth.add_argument("--spread", type=float, help="stop spread for set-stop")
+    pth.set_defaults(fn=cmd_themes)
 
     pt = sub.add_parser("selftest", help="end-to-end smoke test")
     pt.set_defaults(fn=cmd_selftest)

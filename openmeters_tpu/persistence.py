@@ -104,6 +104,69 @@ _SECTION_DEFAULTS = {
     "waveform": WaveformConfig(),
 }
 
+_PANE_NAMES = tuple(_SECTION_DEFAULTS)
+
+
+@dataclasses.dataclass(frozen=True)
+class UiSettings:
+    """Presentation settings persisted alongside the engine config: the
+    selected theme and the pane-grid layout (reference ``UiSettings``
+    carries the theme + ``pane_grid`` state, persistence/visuals.rs;
+    layout rows map to the reference's drag-reorderable pane grid,
+    ``ui/pane_grid.rs``)."""
+
+    theme: str = "default"
+    # rows of pane names; panes whose analyzer is disabled are skipped at
+    # render time
+    pane_layout: tuple = (
+        ("loudness", "spectrum", "stereometer"),
+        ("spectrogram", "oscilloscope", "waveform"),
+    )
+
+
+def encode_ui(ui: UiSettings) -> dict:
+    return {
+        "theme": ui.theme,
+        "pane_layout": [list(row) for row in ui.pane_layout],
+    }
+
+
+def decode_ui(raw: Any, default: UiSettings | None = None) -> UiSettings:
+    """Lossy ui-section decode: bad rows/names are dropped with a warning,
+    a fully invalid section falls back to the default layout."""
+    default = default or UiSettings()
+    if raw is None:
+        return default
+    if not isinstance(raw, dict):
+        log.warning("[settings] invalid section ui: %r (using defaults)", raw)
+        return default
+    theme = raw.get("theme", default.theme)
+    if not isinstance(theme, str):
+        log.warning("[settings] invalid value for ui.theme: %r (using default)", theme)
+        theme = default.theme
+    layout = default.pane_layout
+    if "pane_layout" in raw:
+        rows = []
+        ok = isinstance(raw["pane_layout"], list)
+        for row in raw["pane_layout"] if ok else ():
+            if not isinstance(row, list):
+                ok = False
+                continue
+            keep = [p for p in row if p in _PANE_NAMES]
+            for p in row:
+                if p not in _PANE_NAMES:
+                    log.warning("[settings] unknown pane ui.pane_layout: %r ignored", p)
+            if keep:
+                rows.append(tuple(keep))
+        if not ok:
+            log.warning("[settings] invalid ui.pane_layout (using default)")
+        elif rows:
+            layout = tuple(rows)
+    for key in raw:
+        if key not in ("theme", "pane_layout"):
+            log.warning("[settings] unknown key ui.%s ignored", key)
+    return UiSettings(theme=theme, pane_layout=layout)
+
 
 def encode_settings(config: EngineConfig) -> dict:
     doc: dict = {
@@ -143,7 +206,7 @@ def decode_settings(doc: Any, default: EngineConfig | None = None) -> EngineConf
         updates[name] = _decode_struct(doc.get(name), current, name)
     for key in doc:
         if key not in ("sample_rate", "block_frames", "channels", "enabled",
-                       *_SECTION_DEFAULTS):
+                       "ui", *_SECTION_DEFAULTS):
             log.warning("[settings] unknown key %s ignored", key)
     return dataclasses.replace(default, **updates)
 
@@ -177,37 +240,64 @@ class SettingsHandle:
         self._lock = threading.Lock()
         self._timer: threading.Timer | None = None
         self.config = self.load_or_default(path, default)
+        self.ui = self.load_ui_or_default(path)
+
+    @staticmethod
+    def _read_doc(path: str) -> Any:
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+        except (OSError, json.JSONDecodeError) as e:
+            log.warning("[settings] unreadable %s: %s (using defaults)", path, e)
+            return None
 
     @staticmethod
     def load_or_default(path: str, default: EngineConfig | None = None) -> EngineConfig:
-        try:
-            with open(path) as f:
-                doc = json.load(f)
-        except FileNotFoundError:
-            return default or EngineConfig()
-        except (OSError, json.JSONDecodeError) as e:
-            log.warning("[settings] unreadable %s: %s (using defaults)", path, e)
+        doc = SettingsHandle._read_doc(path)
+        if doc is None:
             return default or EngineConfig()
         return decode_settings(doc, default)
+
+    @staticmethod
+    def load_ui_or_default(path: str, default: UiSettings | None = None) -> UiSettings:
+        doc = SettingsHandle._read_doc(path)
+        if not isinstance(doc, dict):
+            return default or UiSettings()
+        return decode_ui(doc.get("ui"), default)
 
     def update(self, config: EngineConfig) -> None:
         with self._lock:
             self.config = config
-            if self._timer is not None:
-                self._timer.cancel()
-            self._timer = threading.Timer(DEBOUNCE_SECONDS, self._save)
-            self._timer.daemon = True
-            self._timer.start()
+            self._schedule_save_locked()
+
+    def update_ui(self, ui: UiSettings) -> None:
+        with self._lock:
+            self.ui = ui
+            self._schedule_save_locked()
+
+    def _schedule_save_locked(self) -> None:
+        if self._timer is not None:
+            self._timer.cancel()
+        self._timer = threading.Timer(DEBOUNCE_SECONDS, self._save)
+        self._timer.daemon = True
+        self._timer.start()
+
+    def _encode_doc(self, cfg: EngineConfig, ui: UiSettings) -> dict:
+        doc = encode_settings(cfg)
+        doc["ui"] = encode_ui(ui)
+        return doc
 
     def _save(self) -> None:
         with self._lock:
-            cfg = self.config
+            cfg, ui = self.config, self.ui
             self._timer = None
-        write_json_atomic(self.path, encode_settings(cfg))
+        write_json_atomic(self.path, self._encode_doc(cfg, ui))
 
     def flush(self) -> None:
         with self._lock:
             if self._timer is not None:
                 self._timer.cancel()
                 self._timer = None
-        write_json_atomic(self.path, encode_settings(self.config))
+        write_json_atomic(self.path, self._encode_doc(self.config, self.ui))

@@ -61,7 +61,8 @@ class LiveRenderer:
     the consumer's own display rate across frames."""
 
     def __init__(self, server, out_dir: str, stream: int = 0,
-                 width: int = 960, height: int = 540):
+                 width: int = 960, height: int = 540, theme=None):
+        from openmeters_tpu.themes import BUILTIN_THEMES
         from openmeters_tpu.views import CorrelationTrail, SpectrumPeakLabel
 
         os.makedirs(out_dir, exist_ok=True)
@@ -70,6 +71,7 @@ class LiveRenderer:
         self.stream = stream
         self.width = width
         self.height = height
+        self.theme = theme or BUILTIN_THEMES["default"]
         self.frames = 0  # rendered frame count (tests / stats)
 
         # pre-ingest retention feedback: bound the host rings to exactly
@@ -150,6 +152,11 @@ class LiveRenderer:
 
     # -- frame-rate rasterization -----------------------------------------
 
+    def set_theme(self, theme) -> None:
+        """Swap the live theme (apply_theme analogue, ui/app.rs:142-146);
+        takes effect at the next rendered frame."""
+        self.theme = theme
+
     def render(self) -> list[str]:
         """Rasterize every active visual to ``{out_dir}/{visual}.png``.
         Returns the written paths."""
@@ -194,6 +201,10 @@ class LiveRenderer:
         cv = Canvas(max(self.width // 3, 240), self.height)
         render_loudness_frame(
             cv,
+            bar_colors=(
+                self.theme.stroke("loudness", 1.0),
+                self.theme.stroke("loudness", 0.0),
+            ),
             momentary_lufs=float(mom[st]),
             short_term_lufs=float(
                 _find(meters, "loudness", "short_term_lufs")[st]
@@ -216,7 +227,6 @@ class LiveRenderer:
                 return None
             from openmeters_tpu.render import (
                 DB_ANALYSIS_FLOOR,
-                HEAT_RAMP,
                 compose_rgba,
                 shade_db,
             )
@@ -230,7 +240,7 @@ class LiveRenderer:
                 ),
                 -np.inf,
             )
-            rgba = shade_db(db, DB_ANALYSIS_FLOOR, HEAT_RAMP)
+            rgba = shade_db(db, DB_ANALYSIS_FLOOR, self.theme.palette("spectrogram"))
             rgba *= (power_img > 0.0)[..., None]
             return compose_rgba(rgba.astype(np.float32))
         hist = self.server._view_histories.get("spectrogram")  # noqa: SLF001
@@ -255,6 +265,7 @@ class LiveRenderer:
             fft_size=sg.config.fft_size,
             width=self.width,
             height=self.height,
+            palette=self.theme.palette("spectrogram"),
         )
         return compose_rgba(rgba)
 
@@ -286,6 +297,7 @@ class LiveRenderer:
         self._peak.update(bins_hz, db, scale)  # live decay across frames
         render_spectrum_frame(
             cv, pts, valid,
+            color=self.theme.stroke("spectrum"),
             ticks=spectrum_grid_ticks(
                 SPECTRUM_MIN_FREQUENCY, float(bins_hz[-1]), scale
             ),
@@ -301,7 +313,13 @@ class LiveRenderer:
         from openmeters_tpu.render import Canvas, render_oscilloscope_frame
 
         cv = Canvas(self.width, self.height)
-        render_oscilloscope_frame(cv, snap, self.stream)
+        render_oscilloscope_frame(
+            cv, snap, self.stream,
+            colors=(
+                self.theme.stroke("oscilloscope", 1.0),
+                self.theme.stroke("oscilloscope", 0.0),
+            ),
+        )
         return cv.to_srgb_u8()
 
     def _frame_stereometer(self, meters: dict):
@@ -317,7 +335,9 @@ class LiveRenderer:
         if pts is not None and ok is not None and pts.ndim >= 3:
             cloud = np.asarray(pts[self.stream, 0])
             valid = np.full((cloud.shape[0],), bool(ok[self.stream]), bool)
-            render_stereometer_frame(cv, cloud, valid)
+            render_stereometer_frame(
+                cv, cloud, valid, color=self.theme.stroke("stereometer")
+            )
         elif len(self._trail.values) == 0:
             return None  # meters mode before any correlation arrived
         render_correlation_meter(
@@ -332,13 +352,15 @@ class LiveRenderer:
         from openmeters_tpu.render import Canvas, render_waveform_frame
 
         cv = Canvas(self.width, self.height)
-        render_waveform_frame(cv, hist.columns)
+        render_waveform_frame(
+            cv, hist.columns, fallback_color=self.theme.stroke("waveform")
+        )
         return cv.to_srgb_u8()
 
 
 def attach_render_consumer(
     server, out_dir: str, stream: int = 0, every: float = 0.5,
-    width: int = 960, height: int = 540,
+    width: int = 960, height: int = 540, theme=None,
 ) -> LiveRenderer:
     """Attach a live PNG render consumer to a running :class:`MeterServer`.
 
@@ -350,7 +372,8 @@ def attach_render_consumer(
     loudness bars, correlation meter, spectrum, and oscilloscope panes from
     the display-clock fetches alone."""
     r = LiveRenderer(server, out_dir, stream=stream, width=width,
-                     height=height)
+                     height=height, theme=theme)
+    server.live_renderer = r  # settings watcher re-themes through this
     prev = server.on_drain
     state = {"next": 0.0}
 

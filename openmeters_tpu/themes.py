@@ -8,7 +8,14 @@ interior stop positions when moved, spreads when != 1)
 (theme.rs:14-140, palette.rs:37-84).
 
 Headless themes carry the per-visual :class:`~openmeters_tpu.views.
-GradientPalette` parameters consumed by downstream renderers.
+GradientPalette` parameters consumed by downstream renderers.  Image panes
+(spectrogram) shade through the whole gradient; line/bar panes read their
+colors off the gradient's endpoints — ``evaluate(1.0)`` is the primary
+stroke and ``evaluate(0.0)`` the secondary accent (second oscilloscope
+channel, integrated-loudness bar) — so the builtin ``default`` theme
+reproduces the renderer's stock colors exactly and a custom theme recolors
+every pane through the same stop-editing surface the reference's
+palette_editor widget drives (``ui/palette_editor.rs``).
 """
 
 from __future__ import annotations
@@ -27,11 +34,22 @@ EPSILON = 1e-6
 VISUALS = ("loudness", "spectrogram", "spectrum", "oscilloscope", "stereometer", "waveform")
 
 
+# stock renderer colors as 2-stop [secondary, primary] gradients (render.py
+# frame-function defaults); spectrogram keeps the full heat ramp
+_DEFAULT_PALETTES = {
+    "spectrogram": HEAT_RAMP,
+    "spectrum": GradientPalette.make([[0.3, 0.9, 1.0, 0.0], [0.3, 0.9, 1.0, 1.0]]),
+    "oscilloscope": GradientPalette.make([[1.0, 0.6, 0.2, 1.0], [0.3, 0.9, 1.0, 1.0]]),
+    "stereometer": GradientPalette.make([[0.3, 0.9, 1.0, 0.0], [0.3, 0.9, 1.0, 0.35]]),
+    "waveform": GradientPalette.make([[0.3, 0.9, 1.0, 1.0], [0.3, 0.9, 1.0, 1.0]]),
+    "loudness": GradientPalette.make([[0.2, 0.55, 0.9, 1.0], [0.3, 0.9, 1.0, 1.0]]),
+}
+
+
 def _default_palette(visual: str) -> GradientPalette:
-    if visual == "spectrogram":
-        return HEAT_RAMP
-    # neutral 2-stop ramps stand in for the reference's per-visual defaults
-    return GradientPalette.make([[0, 0, 0, 1], [1, 1, 1, 1]])
+    return _DEFAULT_PALETTES.get(
+        visual, GradientPalette.make([[0, 0, 0, 1], [1, 1, 1, 1]])
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +60,11 @@ class Theme:
 
     def palette(self, visual: str) -> GradientPalette:
         return self.palettes.get(visual, _default_palette(visual))
+
+    def stroke(self, visual: str, t: float = 1.0) -> tuple:
+        """Line/bar color for a pane: the gradient endpoint at ``t``
+        (1.0 = primary stroke, 0.0 = secondary accent)."""
+        return tuple(float(c) for c in self.palette(visual).evaluate(t))
 
 
 def palette_diff(palette: GradientPalette, default: GradientPalette) -> dict | None:

@@ -149,6 +149,49 @@ def test_render_consumer_reassigned_splat(tmp_path):
     assert _decode_png_size(path) == (64, 48)
 
 
+def test_render_consumer_honors_theme(tmp_path):
+    """A custom theme recolors the panes: a pure-red spectrogram ramp and
+    spectrum stroke must shift the rendered pixels red vs the builtin
+    default (apply_theme analogue, ui/app.rs:142-146)."""
+    from openmeters_tpu.render import decode_png
+    from openmeters_tpu.themes import Theme
+    from openmeters_tpu.views import GradientPalette
+
+    red = GradientPalette.make([[0, 0, 0, 0], [1.0, 0.0, 0.0, 1.0]])
+    theme = Theme("red", palettes={"spectrogram": red, "spectrum": red})
+
+    imgs = {}
+    for label, th in (("default", None), ("red", theme)):
+        out = tmp_path / label
+        server = MeterServer(
+            ServeConfig(
+                n_streams=1, channels=2, engine=_engine(reassigned=False),
+                realtime=False, fetch="full", fetch_every=1,
+                coalesce_blocks=1,
+            )
+        )
+        try:
+            r = attach_render_consumer(
+                server, str(out), every=0.0, width=64, height=48, theme=th
+            )
+            _run(server, r, n_blocks=24)
+        finally:
+            server.close()
+        for pane in ("spectrogram", "spectrum"):
+            with open(out / f"{pane}.png", "rb") as fh:
+                imgs[(label, pane)] = decode_png(fh.read()).astype(np.int32)
+
+    for pane in ("spectrogram", "spectrum"):
+        themed, stock = imgs[("red", pane)], imgs[("default", pane)]
+        assert themed.shape == stock.shape
+        assert not np.array_equal(themed, stock), f"{pane} ignored the theme"
+        lit = themed[..., :3].max(-1) > 8  # colored pixels only
+        assert lit.any()
+        # red channel dominates everywhere the themed pane has content
+        assert (themed[..., 0][lit] >= themed[..., 1][lit]).all()
+        assert (themed[..., 0][lit] >= themed[..., 2][lit]).all()
+
+
 def test_render_consumer_meters_mode_panes(tmp_path):
     """In fetch='meters' mode the bulk panes are absent but the packed-leaf
     panes (loudness bars, correlation meter) still render, and the consumer
